@@ -1,0 +1,588 @@
+"""Mapping compiler: xR2RML MappingDocument -> Spark DataFrame triple plans.
+
+Replaces the reference's materialization dataflow (unfolder + data
+translator + materializer, SURVEY §3.1) with per-triples-map DataFrame
+stages:
+
+    scan -> [iterator explode] -> term projection (native Column exprs where
+    possible, Arrow-batched pandas UDFs otherwise) -> one Generate per map
+    (explode of a combined (pred, obj) pair array) -> union -> dedup
+
+Design notes for scale (the reference is a single-threaded driver loop —
+MorphRDBDataTranslator.scala:85, MorphMongoDataTranslator.scala:82):
+
+  * ONE scan per triples map: all term columns are computed in a single
+    projection and the S x (P x O) Cartesian per row
+    (MorphBaseMaterializer.materializeQuads:159-200) happens as one
+    flatten/explode of an array-of-structs — no per-POM rescans.
+  * Constant/column/single-valued-template maps compile to native Column
+    expressions (whole-stage codegen); UDFs only for multi-valued paths.
+  * RefObjectMap joins are real joins (never the reference's
+    Cartesian-then-filter, MorphBaseMaterializer.scala:88-101):
+    simple-column conditions -> equi-join (J1); mixed-syntax-path
+    conditions -> explode both sides + equi-join + per-condition
+    intersection (J2/J3/J4). Parent scans are reused (and optionally
+    persisted) across RefObjectMaps (S6).
+  * Self-join elimination (AbstractQueryAtomicMongo.mergeForInnerJoin
+    :122-186 analogue): when child and parent share the logical source and
+    every join condition is childRef == parentRef, the parent subject is
+    computed on the child row — no join at all.
+  * Blank nodes for collections are content-derived (collections.py), so
+    the plan is deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import terms
+from ..functions.encoding import encode_reserved_chars_col
+from ..functions.paths import MixedSyntaxPath
+from ..functions.templates import get_template_groups, template_parts
+from ..mapping.model import (
+    COLUMN,
+    CONSTANT,
+    REFERENCE,
+    TEMPLATE,
+    LogicalSource,
+    MappingDocument,
+    RefObjectMap,
+    TermMap,
+    TriplesMap,
+)
+from ..sources.catalog import SourceCatalog
+from . import udfs
+from .collections import expand_collections
+
+TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class CompileOptions:
+    encode_unsafe_chars_in_uri: bool = True  # MorphProperties.scala:45
+    encode_unsafe_chars_in_db_values: bool = True  # MorphProperties.scala:46
+    dedup: bool = True  # Jena model set semantics (S8)
+    cache_parents: bool = True  # S6 query-result cache analogue
+    limits: dict[str, int] = field(default_factory=dict)  # S5 per-TM limits
+
+
+@dataclass
+class _TermExpr:
+    col: Column
+    is_array: bool
+
+    def as_array(self) -> Column:
+        if self.is_array:
+            return F.coalesce(self.col, F.array().cast("array<string>"))
+        return F.when(self.col.isNotNull(), F.array(self.col)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+
+class MappingCompiler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        doc: MappingDocument,
+        catalog: SourceCatalog,
+        options: CompileOptions | None = None,
+    ):
+        self.spark = spark
+        self.doc = doc
+        self.catalog = catalog
+        self.options = options or CompileOptions()
+        self._source_cache: dict[str, tuple[DataFrame, str | None]] = {}
+        # ship the package to executor Python workers so pandas-UDF
+        # closures can be unpickled (spark-submit --py-files equivalent)
+        from ..plans.session import attach_package
+
+        attach_package(spark)
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def triples(self) -> DataFrame:
+        """Union of all triples maps (translateData_Materialization
+        :49-65 analogue), deduplicated."""
+        dfs = [self.triples_for(name) for name in self.doc.triples_maps]
+        dfs = [d for d in dfs if d is not None]
+        if not dfs:
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        out = functools.reduce(DataFrame.unionByName, dfs)
+        if self.options.dedup:
+            out = out.dropDuplicates(["subj", "pred", "obj"])
+        return out
+
+    def triples_for(self, tm_name: str) -> DataFrame:
+        tm = self.doc.triples_maps[tm_name]
+        base, doc_col = self._resolved_base(tm)
+
+        subj = self._compile_term_map(tm.subject_map, base, doc_col)
+        if subj.is_array:
+            base = base.withColumn("__subj", F.explode(subj.col))
+        else:
+            base = base.withColumn("__subj", subj.col).where(
+                F.col("__subj").isNotNull()
+            )
+
+        branches: list[DataFrame] = []
+        pair_arrays: list[Column] = []
+        # Python-UDF-backed arrays cannot appear inside higher-order-function
+        # lambdas (Spark UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF),
+        # so every term expression is materialized as a named column first.
+        mat_count = [0]
+
+        def materialize(expr: _TermExpr) -> _TermExpr:
+            nonlocal base
+            name = f"__t{mat_count[0]}"
+            mat_count[0] += 1
+            base = base.withColumn(name, expr.col)
+            return _TermExpr(F.col(name), expr.is_array)
+
+        # rdf:type triples per rr:class (P8)
+        for class_uri in tm.subject_map.class_uris:
+            pair_arrays.append(
+                F.array(
+                    F.struct(
+                        F.lit(f"<{terms.RDF_TYPE}>").alias("p"),
+                        F.lit(terms.make_iri(class_uri, False)).alias("o"),
+                    )
+                )
+            )
+
+        collection_jobs = []
+        for pom in tm.predicate_object_maps:
+            if pom.graph_maps:
+                raise NotImplementedError("named graph maps not supported yet")
+            pred_exprs = [
+                materialize(self._compile_term_map(pm, base, doc_col))
+                for pm in pom.predicate_maps
+            ]
+            for om in pom.object_maps:
+                obj = materialize(self._compile_term_map(om, base, doc_col))
+                coll_tt = om.collection_term_type()
+                if coll_tt:
+                    for pe in pred_exprs:
+                        collection_jobs.append((pe, obj, coll_tt))
+                else:
+                    for pe in pred_exprs:
+                        pair_arrays.append(self._pairs(pe, obj))
+
+        for pe, obj, coll_tt in collection_jobs:
+            branches.append(self._collection_branch(base, pe, obj, coll_tt))
+        for pom in tm.predicate_object_maps:
+            for rom in pom.ref_object_maps:
+                branches.extend(self._ref_object_branches(tm, base, pom, rom))
+
+        if pair_arrays:
+            combined = (
+                F.flatten(F.array(*pair_arrays))
+                if len(pair_arrays) > 1
+                else pair_arrays[0]
+            )
+            main = (
+                base.select(F.col("__subj"), F.explode(combined).alias("po"))
+                .select(
+                    F.col("__subj").alias("subj"),
+                    F.col("po.p").alias("pred"),
+                    F.col("po.o").alias("obj"),
+                )
+            )
+            branches.insert(0, main)
+
+        if not branches:
+            return None
+        return functools.reduce(DataFrame.unionByName, branches)
+
+    # ------------------------------------------------------------------
+    # source resolution
+    # ------------------------------------------------------------------
+
+    def _resolved_base(self, tm: TriplesMap) -> tuple[DataFrame, str | None]:
+        key = tm.name
+        if key in self._source_cache:
+            return self._source_cache[key]
+        ls = tm.logical_source
+        df, doc_col = self.catalog.resolve(ls)
+        if ls.iterator and doc_col is not None:
+            it_udf = udfs.make_array_udf(
+                udfs.iterator_evaluator(ls.iterator, ls.formulation)
+            )
+            df = df.withColumn(doc_col, F.explode(it_udf(F.col(doc_col))))
+        limit = self.options.limits.get(tm.name)
+        if limit is not None:
+            df = df.limit(limit)
+        # deterministic per-row id for join intersections / collection groups
+        df = df.withColumn(
+            "__row_id",
+            F.xxhash64(*[F.col(c) for c in df.columns], F.lit(tm.name)),
+        )
+        self._source_cache[key] = (df, doc_col)
+        return df, doc_col
+
+    # ------------------------------------------------------------------
+    # term-map compilation
+    # ------------------------------------------------------------------
+
+    def _compile_term_map(
+        self, term_map: TermMap, df: DataFrame, doc_col: str | None
+    ) -> _TermExpr:
+        opts = self.options
+        member_tt, datatype, language = term_map.member_term_info()
+
+        if term_map.kind == CONSTANT:
+            value = terms.make_term(
+                term_map.constant,
+                member_tt,
+                datatype,
+                language,
+                # constants are mapping-author IRIs: the reference passes them
+                # through translateSingleValue -> createIRI with the global flag
+                opts.encode_unsafe_chars_in_uri,
+            )
+            return _TermExpr(F.lit(value), is_array=False)
+
+        if term_map.kind == COLUMN:
+            return self._native_scalar(
+                F.col(term_map.column),
+                self._field_type(df, term_map.column),
+                member_tt,
+                datatype,
+                language,
+            )
+
+        if term_map.kind == REFERENCE:
+            msp = MixedSyntaxPath.parse(term_map.reference, term_map.ref_formulation)
+            if msp.is_simple_column:
+                # plain column reference: behaves exactly like rr:column
+                col = msp.referenced_column
+                return self._native_scalar(
+                    F.col(col), self._field_type(df, col), member_tt, datatype, language
+                )
+            evaluator = udfs.reference_evaluator(term_map, opts.encode_unsafe_chars_in_uri)
+            input_col = (
+                F.col(doc_col)
+                if term_map.ref_formulation != "Column"
+                else F.col(msp.referenced_column)
+            )
+            return _TermExpr(
+                udfs.make_array_udf(evaluator)(input_col), is_array=True
+            )
+
+        if term_map.kind == TEMPLATE:
+            native = self._try_native_template(term_map, df, member_tt, datatype, language)
+            if native is not None:
+                return native
+            input_cols, evaluator = udfs.template_evaluator(
+                term_map,
+                opts.encode_unsafe_chars_in_uri,
+                opts.encode_unsafe_chars_in_db_values,
+            )
+            if term_map.ref_formulation == "Column":
+                args = [F.col(c) for c in input_cols]
+            else:
+                args = [F.col(doc_col)]
+            return _TermExpr(udfs.make_array_udf(evaluator)(*args), is_array=True)
+
+        raise ValueError(f"unknown term map kind {term_map.kind}")
+
+    def _field_type(self, df: DataFrame, column: str) -> T.DataType:
+        for f in df.schema.fields:
+            if f.name == column:
+                return f.dataType
+        raise ValueError(f"column {column!r} not in source schema {df.columns}")
+
+    def _native_scalar(
+        self,
+        col: Column,
+        dtype: T.DataType,
+        member_tt: str,
+        datatype: str | None,
+        language: str | None,
+    ) -> _TermExpr:
+        """rr:column / simple-reference fast path: JVM-side term build with
+        compile-time datatype inference (DatatypeMapper analogue)."""
+        lex = terms.lex_value_col(col, dtype)
+        if member_tt == terms.TERM_LITERAL and datatype is None and language is None:
+            datatype = terms.spark_type_to_xsd(dtype)
+        term = terms.term_col(
+            lex, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
+        )
+        return _TermExpr(F.when(col.isNotNull(), term), is_array=False)
+
+    def _try_native_template(
+        self,
+        term_map: TermMap,
+        df: DataFrame,
+        member_tt: str,
+        datatype: str | None,
+        language: str | None,
+    ) -> _TermExpr | None:
+        """Single-valued template fast path: every group is a plain column
+        of a row-shaped source -> pure Column concat (codegen'd).
+
+        Semantics preserved from the template branch + cartesianProduct:
+        null/empty-string group value contributes ''; all groups
+        null/empty => no term.
+        """
+        if term_map.ref_formulation != "Column":
+            return None
+        groups = get_template_groups(term_map.template)
+        cols: list[str] = []
+        for g in groups:
+            msp = MixedSyntaxPath.parse(g, "Column")
+            if not msp.is_simple_column:
+                return None
+            cols.append(msp.referenced_column)
+
+        group_empty = [
+            F.col(c).isNull() | (F.col(c).cast("string") == F.lit("")) for c in cols
+        ]
+        all_empty = functools.reduce(lambda a, b: a & b, group_empty)
+
+        group_values: list[Column] = []
+        for c, empty in zip(cols, group_empty):
+            v = terms.lex_value_col(F.col(c), self._field_type(df, c))
+            if member_tt == terms.TERM_IRI and self.options.encode_unsafe_chars_in_db_values:
+                v = encode_reserved_chars_col(v)
+            group_values.append(F.when(empty, F.lit("")).otherwise(v))
+
+        parts: list[Column] = []
+        for part in template_parts(term_map.template):
+            if isinstance(part, int):
+                parts.append(group_values[part])
+            else:
+                parts.append(F.lit(part))
+        value = F.concat(*parts) if len(parts) > 1 else parts[0]
+        if member_tt == terms.TERM_LITERAL and datatype is None and language is None:
+            # template output is a string; no runtime type to infer
+            pass
+        term = terms.term_col(
+            value, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
+        )
+        return _TermExpr(F.when(~all_empty, term), is_array=False)
+
+    # ------------------------------------------------------------------
+    # pair / branch assembly
+    # ------------------------------------------------------------------
+
+    def _pairs(self, pred: _TermExpr, obj: _TermExpr) -> Column:
+        """(pred x obj) struct pairs for one predicate/object map pair —
+        the P x O slice of materializeQuads' S x P x (O u RO) x G."""
+        parr = pred.as_array()
+        oarr = obj.as_array()
+        return F.flatten(
+            F.transform(
+                parr,
+                lambda p: F.transform(
+                    oarr, lambda o: F.struct(p.alias("p"), o.alias("o"))
+                ),
+            )
+        )
+
+    def _collection_branch(
+        self, base: DataFrame, pred: _TermExpr, obj: _TermExpr, coll_tt: str
+    ) -> DataFrame:
+        """Object map with an RDF collection/container term type (P9):
+        the member array becomes one collection object per row."""
+        if pred.is_array:
+            pred_col = F.explode(pred.col)
+        else:
+            pred_col = pred.col
+        grouped = (
+            base.select(
+                F.col("__subj").alias("subj"),
+                pred_col.alias("pred"),
+                obj.as_array().alias("members"),
+            )
+            .where(F.col("pred").isNotNull() & (F.size("members") > 0))
+        )
+        if self.options.dedup:
+            # structural dedup of equal collections on (subj, pred) — S8
+            grouped = grouped.dropDuplicates(["subj", "pred", "members"])
+        return expand_collections(grouped, coll_tt)
+
+    # ------------------------------------------------------------------
+    # RefObjectMap joins (J1-J5)
+    # ------------------------------------------------------------------
+
+    def _ref_object_branches(
+        self, tm: TriplesMap, base: DataFrame, pom, rom: RefObjectMap
+    ) -> list[DataFrame]:
+        parent_tm = self.doc.triples_maps[rom.parent_triples_map]
+        pred_terms = []
+        for pm in pom.predicate_maps:
+            if pm.kind != CONSTANT:
+                raise NotImplementedError(
+                    "non-constant predicates on RefObjectMaps not supported"
+                )
+            pred_terms.append(
+                terms.make_term(
+                    pm.constant,
+                    pm.infer_term_type(),
+                    pm.datatype,
+                    pm.language,
+                    self.options.encode_unsafe_chars_in_uri,
+                )
+            )
+
+        rom_df = self._rom_pairs(tm, base, parent_tm, rom)  # (__row_id, __subj, __psubj)
+
+        branches = []
+        coll_tt = rom.collection_term_type()
+        for pred_term in pred_terms:
+            if coll_tt:
+                # J5: join results wrapped as one collection per child row.
+                # Member order: reference keeps parent-iteration order; a
+                # distributed engine has none, so members are sorted
+                # (deterministic; documented divergence).
+                grouped = (
+                    rom_df.groupBy("__row_id", "__subj")
+                    .agg(F.sort_array(F.collect_set("__psubj")).alias("members"))
+                    .select(
+                        F.col("__subj").alias("subj"),
+                        F.lit(pred_term).alias("pred"),
+                        F.col("members"),
+                    )
+                )
+                if self.options.dedup:
+                    grouped = grouped.dropDuplicates(["subj", "pred", "members"])
+                branches.append(expand_collections(grouped, coll_tt))
+            else:
+                branches.append(
+                    rom_df.select(
+                        F.col("__subj").alias("subj"),
+                        F.lit(pred_term).alias("pred"),
+                        F.col("__psubj").alias("obj"),
+                    )
+                )
+        return branches
+
+    def _parent_side(self, parent_tm: TriplesMap) -> tuple[DataFrame, str | None]:
+        pdf, pdoc = self._resolved_base(parent_tm)
+        if self.options.cache_parents:
+            pdf = pdf.persist()
+        return pdf, pdoc
+
+    def _rom_pairs(
+        self, tm: TriplesMap, base: DataFrame, parent_tm: TriplesMap, rom: RefObjectMap
+    ) -> DataFrame:
+        """Compute (child __row_id, child __subj, parent subject __psubj)
+        pairs for a RefObjectMap."""
+        ls, pls = tm.logical_source, parent_tm.logical_source
+
+        # --- self-join elimination (xrr:uniqueRef / same-source case)
+        if (
+            ls == pls
+            and rom.join_conditions
+            and all(jc.child_ref == jc.parent_ref for jc in rom.join_conditions)
+        ):
+            _, doc_col = self._resolved_base(tm)
+            psubj = self._compile_term_map(parent_tm.subject_map, base, doc_col)
+            if psubj.is_array:
+                out = base.select(
+                    "__row_id", "__subj", F.explode(psubj.col).alias("__psubj")
+                )
+            else:
+                out = base.select(
+                    "__row_id", "__subj", psubj.col.alias("__psubj")
+                ).where(F.col("__psubj").isNotNull())
+            return out
+
+        pdf, pdoc = self._parent_side(parent_tm)
+        psubj = self._compile_term_map(parent_tm.subject_map, pdf, pdoc)
+        if psubj.is_array:
+            parent = pdf.withColumn("__psubj", F.explode(psubj.col))
+        else:
+            parent = pdf.withColumn("__psubj", psubj.col).where(
+                F.col("__psubj").isNotNull()
+            )
+
+        _, cdoc = self._resolved_base(tm)
+
+        conds = rom.join_conditions
+        simple = all(
+            self._is_simple_ref(jc.child_ref, ls) and self._is_simple_ref(jc.parent_ref, pls)
+            for jc in conds
+        )
+        if simple and conds:
+            # J1: multi-condition equi-join on raw columns (same-parent-row
+            # AND semantics, as in the generated SQL join)
+            on = None
+            child_j = base
+            parent_j = parent
+            for i, jc in enumerate(conds):
+                ccol = MixedSyntaxPath.parse(jc.child_ref, "Column").referenced_column
+                pcol = MixedSyntaxPath.parse(jc.parent_ref, "Column").referenced_column
+                child_j = child_j.withColumn(f"__ck{i}", F.col(ccol))
+                parent_j = parent_j.withColumn(f"__pk{i}", F.col(pcol))
+                c = child_j[f"__ck{i}"] == parent_j[f"__pk{i}"]
+                on = c if on is None else (on & c)
+            joined = child_j.join(parent_j, on, "inner")
+            return joined.select(
+                child_j["__row_id"].alias("__row_id"),
+                child_j["__subj"].alias("__subj"),
+                parent_j["__psubj"].alias("__psubj"),
+            )
+
+        # J2/J3/J4: per-condition value-intersection joins, then intersect
+        # the (child row, parent subject) candidate sets across conditions.
+        per_cond: list[DataFrame] = []
+        for jc in conds:
+            cvals = self._ref_values(jc.child_ref, ls, base, cdoc)
+            pvals = self._ref_values(jc.parent_ref, pls, parent, pdoc)
+            child_side = base.select(
+                "__row_id", "__subj", F.explode(cvals).alias("__jv")
+            )
+            parent_side = parent.select(
+                F.explode(pvals).alias("__jv"), "__psubj"
+            ).dropDuplicates(["__jv", "__psubj"])
+            pairs = (
+                child_side.join(parent_side, "__jv", "inner")
+                .select("__row_id", "__subj", "__psubj")
+                .dropDuplicates(["__row_id", "__subj", "__psubj"])
+            )
+            per_cond.append(pairs)
+        out = per_cond[0]
+        for nxt in per_cond[1:]:
+            out = out.join(nxt, ["__row_id", "__subj", "__psubj"], "inner")
+        return out
+
+    def _is_simple_ref(self, ref: str, ls: LogicalSource) -> bool:
+        if ls.formulation != "Column":
+            return False
+        return MixedSyntaxPath.parse(ref, "Column").is_simple_column
+
+    def _ref_values(
+        self, ref: str, ls: LogicalSource, df: DataFrame, doc_col: str | None
+    ) -> Column:
+        """Join-condition reference -> array<string> of raw values
+        (string-compared, as in childValues.map(_.toString) intersection,
+        MorphRDBDataTranslator.scala:170-180)."""
+        msp = MixedSyntaxPath.parse(ref, ls.formulation)
+        if msp.is_simple_column:
+            col = F.col(msp.referenced_column).cast("string")
+            return F.when(col.isNotNull(), F.array(col)).otherwise(
+                F.array().cast("array<string>")
+            )
+
+        def evaluate(cell: object) -> list[str]:
+            vals = msp.evaluate(udfs._py_value(cell))
+            return [str(udfs._py_value(v)) for v in vals if v is not None]
+
+        input_col = (
+            F.col(doc_col) if ls.formulation != "Column" else F.col(msp.referenced_column)
+        )
+        return udfs.make_array_udf(evaluate)(input_col)

@@ -104,6 +104,23 @@ def replace_template_groups(
     return results
 
 
+def template_parts(template: str) -> list[object]:
+    """Structural split of a template into literal text (str) and group
+    indexes (int), for native Column-expression compilation: e.g.
+    'http://ex/{a}-{b}' -> ['http://ex/', 0, '-', 1]."""
+    masked, _paths = _mask_paths(template)
+    parts: list[object] = []
+    prev_end = 0
+    for gi, m in enumerate(_GROUP_RE.finditer(masked)):
+        if m.start() > prev_end:
+            parts.append(masked[prev_end : m.start()])
+        parts.append(gi)
+        prev_end = m.end()
+    if prev_end < len(masked):
+        parts.append(masked[prev_end:])
+    return parts
+
+
 def get_template_matching(template: str, iri: str) -> dict[str, str]:
     """Inverse template match (getTemplateMatching :36-69): recover group
     values from an IRI by turning each group into a lazy regex group."""
