@@ -1,0 +1,379 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the point of these over naive pairwise comparison):
+
+* exact       one hash-groupBy (map-side partial agg) — no pairs at all.
+* Jaccard     shingle-explode + equi-join on shingle — pairs are only
+              generated for docs that actually share a shingle; a
+              ``max_df`` cap drops stop-shingles whose posting lists
+              would quadratically blow up the join at web scale.
+* MinHash-LSH fixed-width signature (one groupBy), banded bucket join —
+              candidate pairs per band bucket only; O(n) shuffle rows
+              per band instead of O(n^2).
+* SimHash     60-bit sketch; candidate generation by 4x15-bit chunk
+              banding (pigeonhole: hamming<=3 => >=1 chunk equal), so
+              the self-join is equi, never theta/cross.
+* embedding   brute pairwise kept for small dims/corpora + as the
+              correctness oracle; the LSH-bucketed path for scale lives
+              in similarity.py.
+
+All hashes are md5-derived (hashing.py) so the DuckDB oracle reproduces
+every value bit-for-bit. Similarities are emitted as floor(x*10000)
+bigints ("basis points") for exact cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_long, md5_long_seeded
+from .text import normalized_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: one row per distinct content with the
+    surviving (minimum) id and the number of copies.
+
+    Single hash-groupBy over a 60-bit content hash — partial aggregation
+    map-side, one shuffle of (hash, id) pairs. Never materializes pairs.
+    """
+    return (
+        df.select(md5_long(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rows surviving exact dedup (min id per identical content)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct word k-shingles of the normalized text. Documents
+    shorter than k words produce one shingle (the whole document)."""
+    toks = F.split(normalized_text(text), " ")
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(n >= k, windows).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, shingle) exploded pairs + per-doc distinct-shingle count."""
+    with_sh = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), k).alias("__shingles"),
+    ).withColumn("n_shingles", F.size("__shingles"))
+    return with_sh.select(
+        id_col, "n_shingles", F.explode("__shingles").alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs with word-k-shingle Jaccard >= threshold.
+
+    Plan: shingle-explode -> (optional stop-shingle cap) -> self
+    equi-join on shingle -> count intersections per pair -> Jaccard.
+    ``max_df`` drops shingles occurring in more than max_df documents
+    before the join (posting-list cap); at web scale this is mandatory
+    to bound the worst-case join fan-out.
+    """
+    sh = doc_shingles(df, text_col, id_col, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_shingles").alias("na"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_shingles").alias("nb"),
+        "shingle",
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard_bp", F.floor(jac * F.lit(10000.0)).cast("long"))
+        .where(jac >= F.lit(threshold))
+        .select("id_a", "id_b", "n_inter", "jaccard_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-document MinHash signature: for each of ``num_hashes`` seeded
+    hash functions, the min over the doc's shingles. One explode + one
+    groupBy with num_hashes min-aggregates (all map-side combinable)."""
+    sh = doc_shingles(df, text_col, id_col, k)
+    aggs = [
+        F.min(md5_long_seeded(F.col("shingle"), i)).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs by banded LSH, verified on full signatures.
+
+    Banding: num_hashes/rows_per_band bands; two docs are candidates if
+    any band's hash rows all agree (bucket equi-join). Verification:
+    fraction of agreeing signature positions >= threshold (the unbiased
+    MinHash estimate of Jaccard). Everything is equi-join + groupBy —
+    no cross product anywhere.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(band)),
+                *[
+                    F.col(f"mh{band * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for band in range(n_bands)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    banded = sig.select(
+        F.col(id_col),
+        sig_arr.alias("sig"),
+        F.explode(band_keys).alias("bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "bucket"
+    )
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        operator.add,
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("sig_agree", agree)
+        .withColumn("est_jaccard_bp", F.floor(est * F.lit(10000.0)).cast("long"))
+        .where(est >= F.lit(threshold))
+        .select("id_a", "id_b", "sig_agree", "est_jaccard_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5_long yields 60-bit values
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = SIMHASH_BITS // _SIMHASH_CHUNKS
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash per document, weighted by token frequency.
+
+    token-explode -> 60 conditional-sum aggregates in ONE groupBy (all
+    partial-aggregated map-side) -> bit assembly. No UDFs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = md5_long(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        for b in range(SIMHASH_BITS)
+    ]
+    return sums.select(
+        F.col(id_col), functools.reduce(operator.add, bit_terms).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Candidates by 4x15-bit chunk banding: hamming<=3 over 60 bits
+    guarantees at least one exact-equal 15-bit chunk (pigeonhole), so
+    candidate generation is 4 equi-joins on chunk value — never a cross
+    join. Requires max_hamming < number of chunks (4).
+    """
+    if max_hamming >= _SIMHASH_CHUNKS:
+        raise ValueError("chunk banding requires max_hamming < 4")
+    sh = simhash(df, text_col, id_col)
+    mask = (1 << _CHUNK_BITS) - 1
+    chunk_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(c)),
+                F.shiftright(F.col("simhash"), c * _CHUNK_BITS)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for c in range(_SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_keys).alias("bucket")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", dist.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (bit-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        operator.add,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / F.sqrt(_dot(ad, ad) * _dot(bd, bd))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold, by brute pairwise
+    comparison (exact; quadratic — the oracle/verification path).
+
+    For web-scale corpora use similarity.lsh_ann_topk's hyperplane
+    buckets for candidate generation and verify candidates with this
+    cosine; here the full pairwise form doubles as the correctness
+    oracle for that path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_bp", F.floor(sim * F.lit(10000.0)).cast("long"))
+        .where(F.col("cos_bp") >= F.lit(int(threshold * 10000)))
+        .select("id_a", "id_b", "cos_bp")
+    )

@@ -1,0 +1,154 @@
+"""Tests for morph_xr2rml_spark.ops (dedup / similarity / text /
+multimodal) on small synthetic data + the driver testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from morph_xr2rml_spark.ops import dedup, multimodal, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend", "en"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (4, "completely different content about spark query engines and joins", "en"),
+        (5, "le chat noir dort dans la maison pres de la fenetre ouverte", "fr"),
+        (6, "", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_text_analyze(spark, docs):
+    out = {r["doc_id"]: r for r in text.analyze(docs).collect()}
+    assert out[1]["ws_tokens"] == 13
+    assert out[6]["ws_tokens"] == 0
+    assert out[1]["lang_pred"] == "en"
+    assert out[5]["lang_pred"] == "fr"
+    assert out[6]["lang_pred"] == "und"
+    # identical content -> identical fingerprint; different -> different
+    assert out[1]["fingerprint"] == out[3]["fingerprint"]
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]
+    assert 0 <= out[1]["score_bp"] <= 10000
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[1] == 2  # docs 1 and 3 identical
+    assert 3 not in by_keep
+    kept = dedup.exact_dedup(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 4, 5, 6]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard_bp"] for r in pairs}
+    assert (1, 3) in got and got[(1, 3)] == 10000  # identical
+    assert (1, 2) in got  # one-word difference
+    assert all(a != 4 and b != 4 for a, b in got)
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, k=3, num_hashes=16, rows_per_band=2, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in pairs}
+    assert got[(1, 3)]["sig_agree"] == 16  # identical docs, full agreement
+    assert (1, 4) not in got
+
+
+def test_simhash(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[1] == sh[3]
+    # near-identical text -> small hamming distance
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham12 < ham14
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 8).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(8).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(10)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(spark, emb):
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    queries = emb.where(F.col("vec_id") < 2)
+    got = similarity.cosine_topk(emb, queries, k=3).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for qid in (0, 1):
+        sims = sorted(
+            (
+                (-np.dot(vecs[qid], v) / (np.linalg.norm(vecs[qid]) * np.linalg.norm(v)), i)
+                for i, v in vecs.items() if i != qid
+            ),
+        )[:3]
+        expect = [i for _, i in sims]
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])
+                if r["query_id"] == qid]
+        assert mine == expect
+
+
+def test_lsh_ann_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(emb, queries, k=1).collect()
+    approx = similarity.lsh_ann_topk(emb, queries, k=1, tables=8, bits=2, dim=8)
+    amap = {r["query_id"]: r["neighbor_id"] for r in approx.collect()
+            if r["rank"] == 1}
+    hits = sum(1 for r in exact if r["rank"] == 1 and amap.get(r["query_id"]) == r["neighbor_id"])
+    assert hits >= 2  # recall >= 2/3 with 8 tables on tiny data
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_fake_payload(docs)
+    row = media.where(F.col("doc_id") == 1).first()
+    assert bytes(row["payload"]).decode() == (
+        "the quick brown fox jumps over the lazy dog near the river bank"
+    )
+    assert row["media"]["kind"] in ("image", "audio", "video")
+    feats = multimodal.extract_features(media, fake=True)
+    out = {r["doc_id"]: r for r in feats.collect()}
+    assert len(out[1]["features"]) == multimodal.FEATURE_DIM
+    assert out[1]["n_bytes"] == 63
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-5  # histogram normalized
+    # deterministic: same payload -> same features
+    assert out[1]["features"] == out[3]["features"]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+
+
+def test_multimodal_frame_sample(spark, docs):
+    media = multimodal.attach_fake_payload(docs)
+    frames = multimodal.frame_sample(media, every_n_bytes=16, frame_bytes=8)
+    rows = frames.where(F.col("doc_id") == 1).orderBy("offset").collect()
+    assert [r["offset"] for r in rows] == [0, 16, 32, 48]
+    assert bytes(rows[0]["frame"]).decode() == "the quic"
+
+
+def test_ops_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = text.analyze(docs)
+    assert out.count() == docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    topk = similarity.cosine_topk(emb, q, k=5)
+    assert topk.count() == 15
