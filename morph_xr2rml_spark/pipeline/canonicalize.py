@@ -1,0 +1,128 @@
+"""Entity canonicalization: connected components over sameAs edges,
+then subj/obj rewrite of the triple table through the canonical map.
+
+Algorithm: iterative min-label propagation (the GraphFrames-free
+fallback SURVEY §7 calls for — GraphFrames is not in this environment).
+Each iteration: every node takes the min label among itself and its
+neighbors (one join + one groupBy, both partial-aggregated). Converges
+in O(diameter) rounds; sameAs graphs are shallow (alias chains + hub
+cliques), so this beats the constant-factor-heavy large-star/small-star
+alternation until diameters get pathological. Lineage is cut with
+localCheckpoint each round so the plan doesn't grow unboundedly, and
+convergence is detected with a count of changed labels (cheap: runs on
+the label table only).
+
+Skew note: a hub component funnels its whole frontier into one groupBy
+key per round. The groupBy is a min-aggregate — partial aggregation
+map-side collapses each partition's contribution to one row per key, so
+hot components cost one row per partition, not one per edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id (lexicographic)
+    reachable in the undirected graph."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; keep own label in the pool
+        msgs = und.join(
+            labels.withColumnRenamed("node", "a"), "a"
+        ).select(F.col("b").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(edges: DataFrame, prefer_prefix: str = "ent_") -> DataFrame:
+    """(entity_id, canonical_id) for every node appearing in sameAs
+    edges; entities absent from the edge set are their own canonical.
+
+    Representative selection: within each component, prefer ids with
+    ``prefer_prefix`` (real KB entities over surface-form alt ids),
+    lexicographic min within each class — the component label from the
+    min-propagation is only an internal grouping key, not the output
+    canonical id.
+    """
+    cc = connected_components(edges)
+    tagged = F.when(
+        F.col("node").startswith(prefer_prefix), F.concat(F.lit("0"), F.col("node"))
+    ).otherwise(F.concat(F.lit("1"), F.col("node")))
+    reps = (
+        cc.groupBy("component")
+        .agg(F.min(tagged).alias("__rep"))
+        .select("component", F.expr("substring(__rep, 2)").alias("canonical_id"))
+    )
+    return cc.join(reps, "component").select(
+        F.col("node").alias("entity_id"), "canonical_id"
+    )
+
+
+def rewrite_triples(
+    triples: DataFrame,
+    mapping: DataFrame,
+    iri_template: str = "http://kg.example.org/entity/{}",
+) -> DataFrame:
+    """Rewrite subj/obj IRIs of canonicalized entities.
+
+    The mapping (entity ids -> canonical ids) is entity-dimension-sized,
+    orders of magnitude smaller than the triple table, so both rewrites
+    are broadcast joins — zero shuffle of the triple table itself.
+    """
+    prefix, suffix = iri_template.split("{}")
+    iri_map = F.broadcast(
+        mapping.where(F.col("entity_id") != F.col("canonical_id")).select(
+            F.concat(F.lit("<"), F.lit(prefix), "entity_id", F.lit(suffix), F.lit(">")).alias(
+                "__from"
+            ),
+            F.concat(
+                F.lit("<"), F.lit(prefix), "canonical_id", F.lit(suffix), F.lit(">")
+            ).alias("__to"),
+        )
+    )
+    out = (
+        triples.join(iri_map.withColumnRenamed("__from", "subj"), "subj", "left")
+        .withColumn("subj", F.coalesce(F.col("__to"), F.col("subj")))
+        .drop("__to")
+    )
+    out = (
+        out.join(iri_map.withColumnRenamed("__from", "obj"), "obj", "left")
+        .withColumn("obj", F.coalesce(F.col("__to"), F.col("obj")))
+        .drop("__to")
+    )
+    return out.select("subj", "pred", "obj").dropDuplicates(["subj", "pred", "obj"])
