@@ -1,0 +1,176 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], printing ONE JSON
+line:
+
+    {"metric": "bench_suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {...}, "sf": ..., "triples_per_sec": ...,
+     "scaling": {...}}
+
+The scaling block is the sandbox proxy for BASELINE.json's two-cluster-
+size criterion: the SAME triple-materialization job over the SAME
+(deterministically replicated) input at local[8] vs local[32], with
+efficiency = (thr_4N / thr_N) / 4. Run `python bench.py --no-scaling`
+to skip that part while iterating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from morph_xr2rml_spark import driver_contract as dc
+from morph_xr2rml_spark.pipeline import extract, mentions, pages
+from morph_xr2rml_spark.pipeline.run import emit_triples
+from morph_xr2rml_spark.plans.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# applied to the FIRST session of the process — the local-mode JVM is
+# shared by every later session, so this sizes the heap for all runs
+_MEM_CONF = {
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.driver.maxResultSize": "4g",
+}
+
+# headline queries (subset of the driver registry that stresses every
+# subsystem: mapping compiler + joins, dedup family, similarity, text,
+# full KG pipeline)
+BENCH_QUERIES = [
+    "xr2rml_nation_tm",
+    "xr2rml_refobjectmap_join",
+    "xr2rml_mixed_syntax_path",
+    "xr2rml_rdf_list",
+    "agg_pricing_summary",
+    "join_revenue_by_segment",
+    "window_top_orders_per_segment",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_neardup",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_analysis",
+    "kg_triples_canonical",
+]
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "24"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def replicated_documents(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Deterministic n-fold replica of the documents table with distinct
+    doc_ids per replica (the scaling-job input; same at every
+    parallelism level)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep"), "*"
+    )
+    return rep.select(
+        (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+    ).repartition(max(CPUS * 2, 16))
+
+
+def materialization_job(spark: SparkSession, docs: DataFrame) -> int:
+    """The scaling-measured job: synthesize pages, byte-exact extract,
+    mention detection, compiled xR2RML triple emission, dedup. Returns
+    triple count."""
+    p = pages.synthesize_pages(docs)
+    extracted = extract.extract_text(p).select("page_id", "extracted_text")
+    aliases = mentions.build_alias_dict(docs)
+    m = mentions.detect_mentions(extracted, aliases)
+    ents = mentions.entities_from_aliases(aliases)
+    return emit_triples(spark, p, m, ents).count()
+
+
+def run_queries(spark: SparkSession) -> tuple[dict[str, float], float]:
+    registry = dc.queries()
+    timings: dict[str, float] = {}
+    kg_triples = 0
+    kg_secs = 0.0
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "kg_triples_canonical":
+            kg_triples, kg_secs = n, dt
+    tps = kg_triples / kg_secs if kg_secs > 0 else 0.0
+    return timings, tps
+
+
+def run_scaling() -> dict[str, float]:
+    out: dict[str, float] = {}
+    counts = {}
+    for n in (8, 32):
+        spark = build_session(
+            f"bench-scaling-{n}",
+            master=f"local[{n}]",
+            shuffle_partitions=max(n, 8),
+            extra_conf=_MEM_CONF,
+        )
+        # warm the JVM/Python-worker pools so the measured run is steady-state
+        materialization_job(
+            spark, replicated_documents(spark, SF_DIR, 2)
+        )
+        docs = replicated_documents(spark, SF_DIR, REPLICATE)
+        t0 = time.time()
+        triples = materialization_job(spark, docs)
+        dt = time.time() - t0
+        counts[n] = triples
+        out[f"n{n}_seconds"] = round(dt, 2)
+        out[f"n{n}_triples_per_sec"] = round(triples / dt, 1)
+        spark.stop()
+    assert counts[8] == counts[32], "scaling runs must produce identical output"
+    out["triples"] = counts[32]
+    out["efficiency"] = round(
+        (out["n32_triples_per_sec"] / out["n8_triples_per_sec"]) / 4.0, 3
+    )
+    return out
+
+
+def main() -> None:
+    do_scaling = "--no-scaling" not in sys.argv
+    spark = build_session(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf=_MEM_CONF,
+    )
+    t0 = time.time()
+    timings, tps = run_queries(spark)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "triples_per_sec": round(tps, 1),
+    }
+    if do_scaling:
+        result["scaling"] = run_scaling()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

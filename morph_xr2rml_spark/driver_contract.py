@@ -1,0 +1,1106 @@
+"""Driver-contract registry: named (Spark query, DuckDB oracle SQL) pairs.
+
+Every operator claimed in SURVEY.md §2 (plus the training-data ops) is
+exposed here twice: as a PySpark DataFrame program and as independent
+ANSI SQL the driver runs on DuckDB over the same parquet tables. The
+driver compares row-count + schema + order-insensitive value-hash, so:
+
+  * every computed column is aliased identically on both sides;
+  * float-summing aggregates are re-expressed over per-row
+    ``floor(x*100)`` cents / ``floor(x*10000)`` basis-point bigints so
+    both engines sum exact integers (double summation order is
+    engine-dependent, integer sums are not);
+  * all content hashes are md5-derived (ops/hashing.py) so DuckDB
+    reproduces them bit-for-bit;
+  * dot products / cosines are strictly left-to-right double folds on
+    both sides (F.aggregate with 0.0 init == list_reduce), giving
+    bit-identical IEEE results.
+
+The xR2RML queries run real mapping documents through the full
+parse -> compile -> Catalyst pipeline; their oracles rebuild the
+expected N-Triples strings in pure SQL (the encoding chains are
+generated from the very same replacement tables in
+functions/encoding.py, so Spark and SQL cannot drift apart).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .compiler import MappingCompiler
+from .mapping import parse_mapping
+from .ops import dedup, similarity
+from .ops import text as text_ops
+from .ops.hashing import md5_long_seeded_sql, md5_long_sql
+from .functions.encoding import _ENCODE_URL_PAIRS
+from .pipeline import canonicalize, extract, mentions, pages
+from .pipeline.pages import WARC_EPOCH
+from .pipeline.run import emit_triples
+from .sources import SourceCatalog
+
+# ---------------------------------------------------------------------------
+# shared constants / SQL fragment builders
+# ---------------------------------------------------------------------------
+
+EX = "http://example.org/"
+ONT = EX + "ontology#"
+KG = "http://kg.example.org/"
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_replace_chain(expr: str, pairs: list[tuple[str, str]]) -> str:
+    for src, dst in pairs:
+        s = src.replace("'", "''")
+        d = dst.replace("'", "''")
+        expr = f"replace({expr}, '{s}', '{d}')"
+    return expr
+
+
+def _sql_encode_url(expr: str) -> str:
+    """DuckDB equivalent of encoding.encode_url_col (template-unsafe chars)."""
+    return _sql_replace_chain(expr, _ENCODE_URL_PAIRS)
+
+
+def _sql_norm_text(expr: str) -> str:
+    """DuckDB equivalent of text.normalized_text."""
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _sql_iri(expr: str) -> str:
+    return f"('<' || {_sql_encode_url(f'trim({expr})')} || '>')"
+
+
+# ---------------------------------------------------------------------------
+# 1. xR2RML: template + class + column term maps (P2/P3/P5/P7/P8, S1, U1, S8)
+# ---------------------------------------------------------------------------
+
+NATION_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMNation>
+    xrr:logicalSource [ rr:tableName "nation"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [
+        rr:template "http://example.org/nation/{n_nationkey}";
+        rr:class ex:Nation;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:name;
+        rr:objectMap [ rr:column "n_name" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:regionkey;
+        rr:objectMap [ rr:column "n_regionkey" ];
+    ];
+    .
+"""
+
+
+def q_xr2rml_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = SourceCatalog(spark).register("nation", _load(spark, sf_dir, "nation"))
+    return MappingCompiler(spark, parse_mapping(NATION_TTL), catalog).triples()
+
+
+SQL_XR2RML_NATION = f"""
+WITH n AS (SELECT '<{EX}nation/' || n_nationkey || '>' AS s, * FROM nation)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s AS subj, '{RDF_TYPE}' AS pred, '<{ONT}Nation>' AS obj FROM n
+    UNION ALL
+    SELECT s, '<{ONT}name>', '"' || n_name || '"' FROM n
+    UNION ALL
+    SELECT s, '<{ONT}regionkey>',
+           '"' || n_regionkey || '"^^<{XSD_INT}>' FROM n
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. xR2RML: RefObjectMap equi-join (J1, S6)
+# ---------------------------------------------------------------------------
+
+ORDERS_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMCustomer>
+    xrr:logicalSource [ rr:tableName "customer"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [
+        rr:template "http://example.org/customer/{c_custkey}";
+        rr:class ex:Customer;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:name;
+        rr:objectMap [ rr:column "c_name" ];
+    ];
+    .
+
+<#TMOrder>
+    xrr:logicalSource [ rr:tableName "orders"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/order/{o_orderkey}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:status;
+        rr:objectMap [ rr:column "o_orderstatus" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:customer;
+        rr:objectMap [
+            rr:parentTriplesMap <#TMCustomer>;
+            rr:joinCondition [ rr:child "o_custkey"; rr:parent "c_custkey" ];
+        ];
+    ];
+    .
+"""
+
+
+def q_xr2rml_refobjectmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = (
+        SourceCatalog(spark)
+        .register("customer", _load(spark, sf_dir, "customer"))
+        .register("orders", _load(spark, sf_dir, "orders"))
+    )
+    return MappingCompiler(spark, parse_mapping(ORDERS_TTL), catalog).triples()
+
+
+SQL_XR2RML_REFOBJECTMAP = f"""
+WITH c AS (SELECT '<{EX}customer/' || c_custkey || '>' AS s, * FROM customer),
+     o AS (SELECT '<{EX}order/' || o_orderkey || '>' AS s, * FROM orders)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s AS subj, '{RDF_TYPE}' AS pred, '<{ONT}Customer>' AS obj FROM c
+    UNION ALL
+    SELECT s, '<{ONT}name>', '"' || c_name || '"' FROM c
+    UNION ALL
+    SELECT s, '<{ONT}status>', '"' || o_orderstatus || '"' FROM o
+    UNION ALL
+    SELECT o.s, '<{ONT}customer>', c.s
+    FROM o JOIN c ON o.o_custkey = c.c_custkey
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. xR2RML: mixed-syntax-path reference (P4, §1.2) — Column(...)/JSONPath(...)
+# ---------------------------------------------------------------------------
+
+EVENTS_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMEvent>
+    xrr:logicalSource [ rr:tableName "events"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/event/{event_id}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:etype;
+        rr:objectMap [ rr:column "event_type" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:k;
+        rr:objectMap [ xrr:reference "Column(props)/JSONPath($.k)" ];
+    ];
+    .
+"""
+
+
+def q_xr2rml_mixed_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = SourceCatalog(spark).register("events", _load(spark, sf_dir, "events"))
+    return MappingCompiler(spark, parse_mapping(EVENTS_TTL), catalog).triples()
+
+
+SQL_XR2RML_MIXED_PATH = f"""
+WITH e AS (SELECT '<{EX}event/' || event_id || '>' AS s, * FROM events)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s AS subj, '<{ONT}etype>' AS pred, '"' || event_type || '"' AS obj FROM e
+    UNION ALL
+    SELECT s, '<{ONT}k>',
+           '"' || json_extract_string(props, '$.k') || '"^^<{XSD_INT}>'
+    FROM e WHERE json_extract_string(props, '$.k') IS NOT NULL
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. xR2RML: RefObjectMap -> RDF list (P9/J5; rows-only check: blank-node
+#    labels are content-derived and SQL-reproducible in principle, but the
+#    rdf:first/rest chain explosion is left to the pytest golden tests)
+# ---------------------------------------------------------------------------
+
+LINEITEM_LIST_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMLine>
+    xrr:logicalSource [ rr:tableName "lineitem"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/line/{l_orderkey}/{l_linenumber}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:flag;
+        rr:objectMap [ rr:column "l_returnflag" ];
+    ];
+    .
+
+<#TMOrderLines>
+    xrr:logicalSource [ rr:tableName "orders"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/order/{o_orderkey}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:lines;
+        rr:objectMap [
+            rr:parentTriplesMap <#TMLine>;
+            rr:joinCondition [ rr:child "o_orderkey"; rr:parent "l_orderkey" ];
+            rr:termType xrr:RdfList;
+        ];
+    ];
+    .
+"""
+
+
+def q_xr2rml_rdf_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = (
+        SourceCatalog(spark)
+        .register("orders", _load(spark, sf_dir, "orders"))
+        .register("lineitem", _load(spark, sf_dir, "lineitem"))
+    )
+    return MappingCompiler(spark, parse_mapping(LINEITEM_LIST_TTL), catalog).triples()
+
+
+# ---------------------------------------------------------------------------
+# 5. Aggregation (A1/A2/A3): TPC-H Q1-shaped pricing summary.
+#    Money/quantity summed as per-row floor-cents bigints: exact in both
+#    engines regardless of summation order.
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("sum_disc_cents"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Join + aggregation (J1-analogue on relational side; broadcast dim)
+# ---------------------------------------------------------------------------
+
+
+def q_join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE_BY_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Sort + limit (O1/O2) with a full deterministic ordering
+# ---------------------------------------------------------------------------
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Window function (§2.6): top-3 orders per market segment
+# ---------------------------------------------------------------------------
+
+
+def q_window_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SQL_WINDOW_TOP_ORDERS = """
+SELECT c_mktsegment, o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Set operation (U1/U2): union + distinct
+# ---------------------------------------------------------------------------
+
+
+def q_union_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _load(spark, sf_dir, "supplier")
+    customer = _load(spark, sf_dir, "customer")
+    a = supplier.select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    b = customer.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.lit("customer").alias("side"),
+    )
+    return a.unionByName(b).distinct()
+
+
+SQL_UNION_NATIONKEYS = """
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 'supplier' AS side FROM supplier
+UNION
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'customer' AS side FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Filters incl. JSON predicate (F1/F2/F3 + S4-adjacent JSON access)
+# ---------------------------------------------------------------------------
+
+
+def q_filter_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.where(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+            & (k > 50)
+        )
+        .select("event_id", "event_type", k.alias("k"))
+    )
+
+
+SQL_FILTER_EVENTS_JSON = """
+SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND value IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Exact dedup (hash-groupBy; no pairs materialized)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT_GROUPS = f"""
+SELECT content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM (SELECT {md5_long_sql("text")} AS content_hash, doc_id FROM documents) t
+GROUP BY content_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. n-gram Jaccard near-dup (shingle explode + equi-join; never a cross join)
+# ---------------------------------------------------------------------------
+
+_JK = 2  # shingle width (testdata docs are short word-soup; k=2 yields overlap)
+_JTHRESH = 0.2
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dedup.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), k=_JK, threshold=_JTHRESH
+    )
+    return df.select(
+        "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard_bp"
+    )
+
+
+def _sql_shingles(k: int) -> str:
+    """CTEs: documents -> (doc_id, n_shingles, shingle) exploded pairs."""
+    norm = _sql_norm_text("text")
+    return f"""
+tok AS (SELECT doc_id, str_split({norm}, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(
+                CASE WHEN len(toks) >= {k}
+                     THEN [array_to_string(toks[i:i+{k - 1}], ' ')
+                           FOR i IN range(1, len(toks) - {k} + 2)]
+                     ELSE [array_to_string(toks, ' ')] END) AS shset
+       FROM tok),
+ex AS (SELECT doc_id, len(shset) AS n_shingles, unnest(shset) AS shingle FROM sh)
+"""
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_sql_shingles(_JK)}
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(floor(jac * 10000.0) AS BIGINT) AS jaccard_bp
+FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_inter,
+           CAST(count(*) AS DOUBLE)
+             / CAST(a.n_shingles + b.n_shingles - count(*) AS DOUBLE) AS jac
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+) p
+WHERE jac >= {_JTHRESH}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. MinHash + banded LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MH_N = 16
+_MH_ROWS = 2
+_MH_THRESH = 0.3
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dedup.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"),
+        k=_JK,
+        num_hashes=_MH_N,
+        rows_per_band=_MH_ROWS,
+        threshold=_MH_THRESH,
+    )
+    return df.select(
+        "id_a",
+        "id_b",
+        F.col("sig_agree").cast("long").alias("sig_agree"),
+        "est_jaccard_bp",
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    mins = ",\n              ".join(
+        f"min({md5_long_seeded_sql('shingle', i)}) AS mh{i}" for i in range(_MH_N)
+    )
+    n_bands = _MH_N // _MH_ROWS
+    band_keys = ", ".join(
+        "'{b}:' || CAST(mh{i0} AS VARCHAR) || ':' || CAST(mh{i1} AS VARCHAR)".format(
+            b=b, i0=b * _MH_ROWS, i1=b * _MH_ROWS + 1
+        )
+        for b in range(n_bands)
+    )
+    sig_list = ", ".join(f"mh{i}" for i in range(_MH_N))
+    return f"""
+WITH {_sql_shingles(_JK)},
+sig AS (SELECT doc_id,
+              {mins}
+        FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, [{sig_list}] AS sig,
+                  unnest([{band_keys}]) AS bucket
+           FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sig AS sig_a, b.sig AS sig_b
+         FROM banded a JOIN banded b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+scored AS (SELECT id_a, id_b,
+                  len([i FOR i IN range(1, {_MH_N} + 1) IF sig_a[i] = sig_b[i]]) AS agree
+           FROM cand)
+SELECT id_a, id_b, CAST(agree AS BIGINT) AS sig_agree,
+       CAST(floor(CAST(agree AS DOUBLE) / {float(_MH_N)} * 10000.0) AS BIGINT) AS est_jaccard_bp
+FROM scored
+WHERE CAST(agree AS DOUBLE) / {float(_MH_N)} >= {_MH_THRESH}
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _sql_minhash_lsh()
+
+
+# ---------------------------------------------------------------------------
+# 14. SimHash sketch (60-bit, token-frequency weighted)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_load(spark, sf_dir, "documents"))
+
+
+def _sql_simhash() -> str:
+    norm = _sql_norm_text("text")
+    h = md5_long_sql("tok")
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {h} AS h
+    FROM (SELECT doc_id, unnest(str_split({norm}, ' ')) AS tok FROM documents) t
+    WHERE tok <> ''
+),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------
+# 15. Embedding cosine near-dup (brute pairwise — the oracle path)
+# ---------------------------------------------------------------------------
+
+_ND_THRESH = 0.4  # synthetic embeddings' planted near-dups sit around 0.4-0.6
+
+_SQL_VEC = "[CAST(x AS DOUBLE) FOR x IN embedding]"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-to-right double fold == Spark F.aggregate(zip_with(...), 0.0, +)."""
+    return (
+        f"list_reduce([{a}[i] * {b}[i] FOR i IN range(1, len({a}) + 1)],"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=_ND_THRESH
+    )
+
+
+SQL_DEDUP_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+d AS (SELECT id_a, id_b,
+             {_sql_dot('va', 'vb')} AS dab,
+             {_sql_dot('va', 'va')} AS daa,
+             {_sql_dot('vb', 'vb')} AS dbb
+      FROM p)
+SELECT id_a, id_b,
+       CAST(floor(dab / sqrt(daa * dbb) * 10000.0) AS BIGINT) AS cos_bp
+FROM d
+WHERE CAST(floor(dab / sqrt(daa * dbb) * 10000.0) AS BIGINT) >= {int(_ND_THRESH * 10000)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16. Similarity search: exact brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 5
+_TOPK_NQ = 8  # queries = vec_id < 8
+
+
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _TOPK_NQ)
+    df = similarity.cosine_topk(emb, queries, k=_TOPK_K)
+    return df.select(
+        "query_id", "neighbor_id", "cos_bp", F.col("rank").cast("long").alias("rank")
+    )
+
+
+SQL_SIM_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_TOPK_NQ}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(floor({_sql_dot('qv', 'cv')}
+                      / sqrt({_sql_dot('qv', 'qv')} * {_sql_dot('cv', 'cv')})
+                      * 10000.0) AS BIGINT) AS cos_bp
+    FROM c JOIN q ON query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_bp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_bp DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_bp, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17. Similarity search: LSH ANN (approximate — rows-only driver check; its
+#     recall vs the exact path is asserted in tests/test_ops.py)
+# ---------------------------------------------------------------------------
+
+
+def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _TOPK_NQ)
+    return similarity.lsh_ann_topk(
+        emb, queries, k=_TOPK_K, tables=8, bits=4, dim=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. Text analysis: language-ID, quality, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.analyze(_load(spark, sf_dir, "documents"))
+
+
+def _sql_text_analysis() -> str:
+    score_exprs = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in text_ops.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{L}" for L in text_ops.LANG_ORDER) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND s_{L} = {best} THEN '{L}'" for L in text_ops.LANG_ORDER
+    ) + " ELSE 'und' END"
+    token_re = text_ops.TOKEN_RE
+    norm = _sql_norm_text("text")
+    return f"""
+WITH raw AS (
+    SELECT doc_id, text,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '{token_re}')) AS re_tokens,
+           {", ".join(f"{expr} AS s_{lang}" for lang, expr in score_exprs.items())},
+           CAST(length(text) AS DOUBLE) AS n,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+           CAST(len(regexp_extract_all(lower(text), '{text_ops.EN_STOPWORD_RE}')) AS DOUBLE) AS stops,
+           CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS spaces
+    FROM documents
+),
+d AS (
+    SELECT *,
+           CAST(ws_tokens AS DOUBLE) AS words,
+           CASE WHEN n > 0 THEN n ELSE 1.0::DOUBLE END AS safe_n,
+           CASE WHEN ws_tokens > 0 THEN CAST(ws_tokens AS DOUBLE) ELSE 1.0::DOUBLE END AS safe_w
+    FROM raw
+),
+r AS (
+    SELECT *,
+           alpha / safe_n AS alpha_ratio,
+           punct / safe_n AS punct_ratio,
+           stops / safe_w AS stop_ratio,
+           (n - spaces) / safe_w AS mwl
+    FROM d
+)
+SELECT doc_id,
+       {lang_case} AS lang_pred,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(re_tokens AS BIGINT) AS re_tokens,
+       CAST(floor(alpha_ratio * 10000.0) AS BIGINT) AS alpha_bp,
+       CAST(floor(punct_ratio * 10000.0) AS BIGINT) AS punct_bp,
+       CAST(floor(stop_ratio * 10000.0) AS BIGINT) AS stop_bp,
+       CAST(floor(mwl * 10000.0) AS BIGINT) AS mwl_bp,
+       CAST(floor((0.4::DOUBLE * alpha_ratio
+                   + 0.3::DOUBLE * least(stop_ratio * 5.0::DOUBLE, 1.0::DOUBLE)
+                   + 0.3::DOUBLE * greatest(1.0::DOUBLE - abs(mwl - 5.0::DOUBLE) / 10.0::DOUBLE,
+                                            0.0::DOUBLE)) * 10000.0) AS BIGINT) AS score_bp,
+       {md5_long_sql(norm)} AS fingerprint
+FROM r
+"""
+
+
+SQL_TEXT_ANALYSIS = _sql_text_analysis()
+
+
+# ---------------------------------------------------------------------------
+# 19-25. KG construction pipeline stages (pages -> extract -> mentions ->
+#        entities -> triples -> canonicalize)
+# ---------------------------------------------------------------------------
+
+_SQL_TAIL = (
+    "CASE WHEN doc_id % 20 = 0 THEN 'odd path (x)%/' || CAST(doc_id AS VARCHAR) "
+    "ELSE CAST(doc_id AS VARCHAR) END"
+)
+_SQL_URL = f"('https://' || source || '.example.org/page/' || {_SQL_TAIL})"
+_SQL_TS = "make_timestamp((1577836800 + doc_id) * 1000000)"
+
+
+def _sql_escape_html(expr: str) -> str:
+    return _sql_replace_chain(
+        expr, [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]
+    )
+
+
+_SQL_TITLE = "('Page ' || CAST(doc_id AS VARCHAR))"
+_SQL_HTML = (
+    "('<html><head><title>' || "
+    + _sql_escape_html(_SQL_TITLE)
+    + " || '</title><script>var skip=1;</script><style>p{margin:0}</style>"
+    "</head><body><h1>' || "
+    + _sql_escape_html(_SQL_TITLE)
+    + " || '</h1><p>' || "
+    + _sql_escape_html("text")
+    + " || '</p><!-- comment --></body></html>')"
+)
+
+
+def q_kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    p = pages.synthesize_pages(docs)
+    return p.select(
+        "page_id",
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        "lang",
+        "text",
+        F.length("html").cast("long").alias("html_len"),
+    )
+
+
+SQL_KG_PAGES = f"""
+SELECT doc_id AS page_id,
+       {_SQL_URL} AS url,
+       strftime({_SQL_TS}, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+       lang,
+       text,
+       CAST(octet_length(encode({_SQL_HTML})) AS BIGINT) AS html_len
+FROM documents
+"""
+
+
+def q_kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    p = pages.synthesize_pages(docs)
+    return extract.extract_text(p).select("page_id", "url", "extracted_text")
+
+
+SQL_KG_EXTRACT_TEXT = f"""
+SELECT doc_id AS page_id, {_SQL_URL} AS url, text AS extracted_text
+FROM documents
+"""
+
+
+# alias dictionary + mentions CTEs shared by several oracles
+def _sql_dict_ctes() -> str:
+    return f"""
+toks0 AS (
+    SELECT DISTINCT tok FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+    ) t WHERE length(tok) >= 3
+),
+dict AS (
+    SELECT tok AS alias, 'ent_' || tok AS entity_id, 0.9::DOUBLE AS score FROM toks0
+    UNION ALL
+    SELECT upper(substr(tok, 1, 1)) || substr(tok, 2), 'ent_' || tok, 0.8::DOUBLE FROM toks0
+    UNION ALL
+    SELECT tok, 'alt1_' || tok, 0.6::DOUBLE FROM toks0
+    WHERE {md5_long_sql("tok")} % 5 = 0
+),
+ptoks AS (
+    SELECT doc_id AS page_id, surface, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS surface
+          FROM documents) t
+    WHERE surface <> ''
+    GROUP BY doc_id, surface
+),
+ment AS (
+    SELECT page_id, alias, entity_id, score, n_occurrences
+    FROM (
+        SELECT page_id, d.alias, d.entity_id, d.score, n_occurrences,
+               row_number() OVER (PARTITION BY page_id, surface
+                                  ORDER BY score DESC, entity_id) AS rk
+        FROM ptoks
+        JOIN (SELECT lower(alias) AS surface, alias, entity_id, score FROM dict) d
+          USING (surface)
+    ) x WHERE rk = 1
+)
+"""
+
+
+def _mention_frames(spark: SparkSession, sf_dir: str):
+    docs = _load(spark, sf_dir, "documents")
+    p = pages.synthesize_pages(docs)
+    extracted = extract.extract_text(p).select("page_id", "extracted_text")
+    aliases = mentions.build_alias_dict(docs)
+    m = mentions.detect_mentions(extracted, aliases)
+    ents = mentions.entities_from_aliases(aliases)
+    return docs, p, m, ents
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, m, _ = _mention_frames(spark, sf_dir)
+    return m
+
+
+SQL_KG_MENTIONS = f"""
+WITH {_sql_dict_ctes()}
+SELECT page_id, alias, entity_id, score, n_occurrences FROM ment
+"""
+
+
+def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return mentions.entities_from_aliases(mentions.build_alias_dict(docs))
+
+
+SQL_KG_ENTITIES = f"""
+WITH {_sql_dict_ctes()}
+SELECT entity_id, min(alias) AS label FROM dict GROUP BY entity_id
+"""
+
+
+def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, p, m, ents = _mention_frames(spark, sf_dir)
+    return emit_triples(spark, p, m, ents)
+
+
+def _sql_kg_triples_core() -> str:
+    """UNION ALL of every branch of the compiled KG mapping (pre-dedup)."""
+    url_iri = _sql_iri(_SQL_URL)
+    dt_lit = (
+        f"('\"' || replace(strftime({_SQL_TS}, '%Y-%m-%d %H:%M:%S') || '.0', ' ', 'T')"
+        f" || '\"^^<{XSD_DT}>')"
+    )
+    return f"""
+SELECT '<{KG}page/' || doc_id || '>' AS subj, '{RDF_TYPE}' AS pred,
+       '<http://schema.org/WebPage>' AS obj FROM documents
+UNION ALL
+SELECT '<{KG}page/' || doc_id || '>', '<http://schema.org/url>', {url_iri}
+FROM documents
+UNION ALL
+SELECT '<{KG}page/' || doc_id || '>', '<http://schema.org/inLanguage>',
+       '"' || lang || '"' FROM documents
+UNION ALL
+SELECT '<{KG}page/' || doc_id || '>', '<http://schema.org/dateModified>', {dt_lit}
+FROM documents
+UNION ALL
+SELECT '<{KG}page/' || page_id || '>', '<{KG}ontology#mentionCount>',
+       '"' || CAST(n_occurrences AS VARCHAR) || '"^^<{XSD_INT}>' FROM ment
+UNION ALL
+SELECT '<{KG}page/' || page_id || '>', '<{KG}ontology#mentions>',
+       '<{KG}entity/' || entity_id || '>' FROM ment
+UNION ALL
+SELECT '<{KG}entity/' || entity_id || '>', '{RDF_TYPE}', '<{KG}ontology#Entity>'
+FROM (SELECT DISTINCT entity_id FROM dict) e
+UNION ALL
+SELECT '<{KG}entity/' || entity_id || '>',
+       '<http://www.w3.org/2000/01/rdf-schema#label>', '"' || label || '"'
+FROM (SELECT entity_id, min(alias) AS label FROM dict GROUP BY entity_id) e
+"""
+
+
+SQL_KG_TRIPLES_RAW = f"""
+WITH {_sql_dict_ctes()}
+SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t
+"""
+
+
+def q_kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return canonicalize.canonical_map(pages.synthesize_sameas(docs))
+
+
+def _sql_canonical_ctes() -> str:
+    """Recursive connected components == iterative min-label propagation."""
+    return f"""
+vt AS (
+    SELECT DISTINCT tok FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+    ) t WHERE tok <> ''
+),
+edges0 AS (
+    SELECT 'alt1_' || tok AS src, 'ent_' || tok AS dst FROM vt
+    UNION ALL
+    SELECT 'alt2_' || tok, 'alt1_' || tok FROM vt
+    UNION ALL
+    SELECT 'ent_' || tok, 'ent_hub' FROM vt WHERE {md5_long_sql("tok")} % 7 = 0
+),
+und AS (
+    SELECT src AS a, dst AS b FROM edges0 WHERE src <> dst
+    UNION
+    SELECT dst, src FROM edges0 WHERE src <> dst
+),
+reach AS (
+    SELECT a AS node, a AS r FROM und
+    UNION
+    SELECT reach.node, und.b FROM reach JOIN und ON reach.r = und.a
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+reps AS (
+    SELECT component,
+           substr(min(CASE WHEN starts_with(node, 'ent_') THEN '0' || node
+                           ELSE '1' || node END), 2) AS canonical_id
+    FROM comp GROUP BY component
+),
+cmap AS (
+    SELECT comp.node AS entity_id, reps.canonical_id
+    FROM comp JOIN reps USING (component)
+)
+"""
+
+
+SQL_KG_CANONICAL_MAP = f"""
+WITH RECURSIVE {_sql_canonical_ctes()}
+SELECT entity_id, canonical_id FROM cmap
+"""
+
+
+def q_kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    _, p, m, ents = _mention_frames(spark, sf_dir)
+    raw = emit_triples(spark, p, m, ents)
+    cmap = canonicalize.canonical_map(pages.synthesize_sameas(docs))
+    return canonicalize.rewrite_triples(raw, cmap)
+
+
+SQL_KG_TRIPLES_CANONICAL = f"""
+WITH RECURSIVE {_sql_dict_ctes()},
+{_sql_canonical_ctes().lstrip()},
+iri_map AS (
+    SELECT '<{KG}entity/' || entity_id || '>' AS f,
+           '<{KG}entity/' || canonical_id || '>' AS t
+    FROM cmap WHERE entity_id <> canonical_id
+),
+raw AS ({_sql_kg_triples_core()})
+SELECT DISTINCT coalesce(ms.t, raw.subj) AS subj,
+                raw.pred AS pred,
+                coalesce(mo.t, raw.obj) AS obj
+FROM raw
+LEFT JOIN iri_map ms ON raw.subj = ms.f
+LEFT JOIN iri_map mo ON raw.obj = mo.f
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark callable, oracle SQL or None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "xr2rml_nation_tm": (q_xr2rml_nation, SQL_XR2RML_NATION),
+    "xr2rml_refobjectmap_join": (q_xr2rml_refobjectmap, SQL_XR2RML_REFOBJECTMAP),
+    "xr2rml_mixed_syntax_path": (q_xr2rml_mixed_path, SQL_XR2RML_MIXED_PATH),
+    "xr2rml_rdf_list": (q_xr2rml_rdf_list, None),
+    "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
+    "join_revenue_by_segment": (q_join_revenue_by_segment, SQL_JOIN_REVENUE_BY_SEGMENT),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "window_top_orders_per_segment": (
+        q_window_top_orders_per_segment,
+        SQL_WINDOW_TOP_ORDERS,
+    ),
+    "union_nationkeys": (q_union_nationkeys, SQL_UNION_NATIONKEYS),
+    "filter_events_json": (q_filter_events_json, SQL_FILTER_EVENTS_JSON),
+    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT_GROUPS),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding_neardup": (
+        q_dedup_embedding_neardup,
+        SQL_DEDUP_EMBEDDING_NEARDUP,
+    ),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_lsh_ann_topk": (q_sim_lsh_ann_topk, None),
+    "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
+    "kg_pages": (q_kg_pages, SQL_KG_PAGES),
+    "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
+    "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
+    "kg_entities": (q_kg_entities, SQL_KG_ENTITIES),
+    "kg_triples_raw": (q_kg_triples_raw, SQL_KG_TRIPLES_RAW),
+    "kg_canonical_map": (q_kg_canonical_map, SQL_KG_CANONICAL_MAP),
+    "kg_triples_canonical": (q_kg_triples_canonical, SQL_KG_TRIPLES_CANONICAL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full KG construction (synthesize -> extract -> mentions ->
+    xR2RML triple emission -> canonicalization) on the sf0.001 corpus."""
+    return q_kg_triples_canonical(spark, "/root/testdata/sf0.001")

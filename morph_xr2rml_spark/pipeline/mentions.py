@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ops.hashing import md5_long
 from .skew import salted_join
 
 
@@ -46,7 +47,7 @@ def build_alias_dict(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0.8).alias("score"),
     )
     ambiguous = (
-        toks.where(F.abs(F.hash("tok")) % 5 == 0)
+        toks.where(md5_long(F.col("tok")) % 5 == 0)
         .select(
             F.col("tok").alias("alias"),
             F.concat(F.lit("alt1_"), F.col("tok")).alias("entity_id"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ops.hashing import md5_long
+
 WARC_EPOCH = 1577836800  # 2020-01-01T00:00:00Z
 
 
@@ -100,7 +102,7 @@ def synthesize_sameas(documents: DataFrame) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     hub = (
-        toks.where(F.abs(F.hash("tok")) % 7 == 0)
+        toks.where(md5_long(F.col("tok")) % 7 == 0)
         .select(ent.alias("src"), F.lit("ent_hub").alias("dst"))
     )
     return chain.unionByName(hub)

@@ -1,0 +1,136 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same parquet tables; compare row-count, column names, and an
+order-insensitive value hash.
+
+Usage: python scripts/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    """Order-insensitive hash: sort columns by name, stringify each cell,
+    hash the sorted multiset of row-strings."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "replace"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def _cell(v: object) -> str:
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from morph_xr2rml_spark.plans.session import build_session
+
+    spark = build_session(
+        "check-contract", master="local[8]", shuffle_partitions=16
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            if len(srows) == 0:
+                print(f"WARN  {name}: empty result")
+            continue
+        t1 = time.time()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        duck_s = time.time() - t1
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        else:
+            sh = value_hash(srows, scols)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append(f"hash {sh} != {oh}")
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)} [{spark_s:.1f}s/{duck_s:.1f}s]")
+            _show_diff(srows, scols, orows, ocols)
+        else:
+            status = "OK   " if len(srows) else "OK(0)"
+            print(f"{status} {name}: {len(srows)} rows [{spark_s:.1f}s/{duck_s:.1f}s]")
+    spark.stop()
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+def _show_diff(srows, scols, orows, ocols, n=4):
+    if sorted(scols) != sorted(ocols):
+        return
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    sset = {tuple(_cell(r[i]) for i in order_s) for r in srows}
+    oset = {tuple(_cell(r[i]) for i in order_o) for r in orows}
+    for label, diff in (("spark-only", sset - oset), ("duck-only", oset - sset)):
+        for row in list(diff)[:n]:
+            print(f"    {label}: {row}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
