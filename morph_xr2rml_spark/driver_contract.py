@@ -489,11 +489,12 @@ GROUP BY content_hash
 
 _JK = 2  # shingle width (testdata docs are short word-soup; k=2 yields overlap)
 _JTHRESH = 0.2
+_JMAXDF = 64  # stop-shingle posting-list cap — mandatory at web scale
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = dedup.ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), k=_JK, threshold=_JTHRESH
+        _load(spark, sf_dir, "documents"), k=_JK, threshold=_JTHRESH, max_df=_JMAXDF
     )
     return df.select(
         "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard_bp"
@@ -517,7 +518,9 @@ ex AS (SELECT doc_id, len(shset) AS n_shingles, unnest(shset) AS shingle FROM sh
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH {_sql_shingles(_JK)}
+WITH {_sql_shingles(_JK)},
+rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= {_JMAXDF}),
+exf AS (SELECT ex.* FROM ex JOIN rare USING (shingle))
 SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        CAST(floor(jac * 10000.0) AS BIGINT) AS jaccard_bp
 FROM (
@@ -525,7 +528,7 @@ FROM (
            count(*) AS n_inter,
            CAST(count(*) AS DOUBLE)
              / CAST(a.n_shingles + b.n_shingles - count(*) AS DOUBLE) AS jac
-    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
 ) p
 WHERE jac >= {_JTHRESH}
@@ -651,23 +654,21 @@ def _sql_dot(a: str, b: str) -> str:
 
 def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(
-        _load(spark, sf_dir, "embeddings"), threshold=_ND_THRESH
+        _load(spark, sf_dir, "embeddings"), threshold=_ND_THRESH, dim=64
     )
 
 
 SQL_DEDUP_EMBEDDING_NEARDUP = f"""
 WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-      FROM e a JOIN e b ON a.vec_id < b.vec_id),
-d AS (SELECT id_a, id_b,
-             {_sql_dot('va', 'vb')} AS dab,
-             {_sql_dot('va', 'va')} AS daa,
-             {_sql_dot('vb', 'vb')} AS dbb
-      FROM p)
+n1 AS (SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM e),
+nv AS (SELECT vec_id, [x / nrm FOR x IN v] AS u FROM n1),
+d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_sql_dot('a.u', 'b.u')} AS cos
+      FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b,
-       CAST(floor(dab / sqrt(daa * dbb) * 10000.0) AS BIGINT) AS cos_bp
+       CAST(floor(cos * 10000.0) AS BIGINT) AS cos_bp
 FROM d
-WHERE CAST(floor(dab / sqrt(daa * dbb) * 10000.0) AS BIGINT) >= {int(_ND_THRESH * 10000)}
+WHERE CAST(floor(cos * 10000.0) AS BIGINT) >= {int(_ND_THRESH * 10000)}
 """
 
 

@@ -348,6 +348,31 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled to a flat codegen'd expression.
+
+    Catalyst evaluates higher-order-function lambdas interpreted, one
+    closure call per element; for pairwise scoring over millions of
+    pairs that interpreter overhead dominates. Unrolling to
+    a[0]*b[0] + a[1]*b[1] + ... keeps the whole thing inside
+    whole-stage codegen. The left-associative sum is bit-identical to
+    the 0.0-seeded left fold (0.0 + x == x in IEEE), so results match
+    :func:`_dot` and the DuckDB ``list_reduce`` oracle exactly.
+    """
+    prods = [
+        a.getItem(i).cast("double") * b.getItem(i).cast("double")
+        for i in range(dim)
+    ]
+    return functools.reduce(operator.add, prods)
+
+
+def normalize_vec(vec: Column, dim: int) -> Column:
+    """vec / ||vec|| as array<double>; computing norms once per vector
+    turns the 3-fold cosine into a single fold per pair."""
+    nrm = F.sqrt(unrolled_dot(vec, vec, dim))
+    return F.transform(vec, lambda x: x.cast("double") / nrm)
+
+
 def cosine(a: Column, b: Column) -> Column:
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
@@ -359,6 +384,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold, by brute pairwise
     comparison (exact; quadratic — the oracle/verification path).
@@ -367,10 +393,23 @@ def embedding_neardup_pairs(
     buckets for candidate generation and verify candidates with this
     cosine; here the full pairwise form doubles as the correctness
     oracle for that path.
+
+    When ``dim`` is given, vectors are pre-normalized once and the
+    per-pair score is a single codegen'd unrolled dot product (one
+    fold per pair instead of three, JVM-compiled instead of
+    interpreted lambdas — ~10x on wide corpora).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    if dim is not None:
+        n = df.select(
+            F.col(id_col), normalize_vec(F.col(vec_col), dim).alias("nv")
+        )
+        a = n.select(F.col(id_col).alias("id_a"), F.col("nv").alias("va"))
+        b = n.select(F.col(id_col).alias("id_b"), F.col("nv").alias("vb"))
+        sim = unrolled_dot(F.col("va"), F.col("vb"), dim)
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        sim = cosine(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_bp", F.floor(sim * F.lit(10000.0)).cast("long"))

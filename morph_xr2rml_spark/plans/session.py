@@ -79,6 +79,16 @@ def build_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # long-lived driver hygiene: the live UI/status stores retain
+        # per-task metrics for every stage ever run, which grows the
+        # heap without bound over a many-job session and drags later
+        # jobs into GC churn. Keep only a small rolling window.
+        "spark.ui.enabled": "false",
+        "spark.ui.retainedJobs": "50",
+        "spark.ui.retainedStages": "100",
+        "spark.ui.retainedTasks": "5000",
+        "spark.sql.ui.retainedExecutions": "10",
+        "spark.worker.ui.retainedExecutors": "10",
     }
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -1,0 +1,482 @@
+"""SPARQL SELECT over the materialized triple table as DataFrame
+composition.
+
+The reference evaluates SPARQL by rewriting it into MongoDB/SQL queries
+through a bespoke abstract-query algebra (binder + AbstractQuery tree +
+per-backend generators, SURVEY §2.12, §3.2-3.3:
+MorphBaseTriplePatternBinder.bindm:50-213,
+MorphMongoQueryTranslator.translate:72-124,
+MorphRDBQueryTranslator.trans:262-315). On Spark the entire subsystem
+collapses into plan composition over the (subj, pred, obj) table:
+
+    triple pattern   -> filter on constant positions + projection to vars
+    BGP (AND)        -> inner join on shared variables (J6/J9)
+    OPTIONAL         -> left outer join on shared variables (J7)
+    FILTER           -> Column predicate (F1-F3, F5)
+    UNION            -> unionByName (U2)
+    SELECT/DISTINCT  -> select/dropDuplicates (A3)
+    ORDER/LIMIT/OFFSET -> orderBy/limit/offset (O1/O2)
+
+Catalyst then does join reordering, predicate pushdown, and broadcast
+selection — replacing the reference's hand-written optimizer rewrites
+(SURVEY §4.1).
+
+Supported SPARQL subset (enough for every query shape the reference's
+abstract algebra models): PREFIX, SELECT [DISTINCT] ?v... | *, basic
+graph patterns, OPTIONAL { ... }, UNION of group graph patterns,
+FILTER with =, !=, <, <=, >, >=, BOUND, !, &&, ||, REGEX, ORDER BY
+[ASC|DESC], LIMIT, OFFSET.
+
+Value semantics: positions hold N-Triples lexical forms (`<iri>`,
+`"lit"`, `"lit"^^<dt>`, `"3"^^xsd:integer`); FILTER comparisons are on
+the lexical form for equality and on the parsed numeric value for
+numeric literals in </<=/>/>= (SPARQL's simple-literal subset).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# query model
+# ---------------------------------------------------------------------------
+
+Term = str  # '?var' | '<iri>' | '"lit"' | '"lit"^^<dt>' | '"lit"@lang'
+
+
+@dataclass
+class TriplePattern:
+    s: Term
+    p: Term
+    o: Term
+
+
+@dataclass
+class Filter:
+    expr: "FilterNode"
+
+
+@dataclass
+class Group:
+    """A group graph pattern: required patterns, optional sub-groups,
+    filters, union branches."""
+
+    patterns: list[TriplePattern] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
+    filters: list[Filter] = field(default_factory=list)
+    unions: list[list["Group"]] = field(default_factory=list)
+
+
+@dataclass
+class SelectQuery:
+    variables: list[str]  # without '?'; empty = *
+    where: Group
+    distinct: bool = False
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+    offset: int | None = None
+
+
+# filter expression tree
+@dataclass
+class FilterNode:
+    op: str  # cmp ops, 'and', 'or', 'not', 'bound', 'regex'
+    args: list  # FilterNode | term strings
+
+
+# ---------------------------------------------------------------------------
+# parser (regex/recursive-descent over the subset)
+# ---------------------------------------------------------------------------
+
+_PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
+_SELECT_RE = re.compile(
+    r"SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE", re.IGNORECASE | re.DOTALL
+)
+_TAIL_RE = re.compile(
+    r"(ORDER\s+BY\s+(?P<order>[^{}]+?))?\s*"
+    r"(LIMIT\s+(?P<limit>\d+))?\s*(OFFSET\s+(?P<offset>\d+))?\s*$",
+    re.IGNORECASE,
+)
+
+_TOKEN_RE = re.compile(
+    r"""\?[\w]+           # variable
+      | <[^>]*>           # iri
+      | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?   # literal
+      | \w+:[\w.%-]*      # prefixed name
+      | a\b               # rdf:type shorthand
+      | [{}().;,]
+      | \S+
+    """,
+    re.VERBOSE,
+)
+
+_RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+def _expand(tok: str, prefixes: dict[str, str]) -> str:
+    if tok == "a":
+        return _RDF_TYPE
+    m = re.match(r"^(\w*):([\w.%-]*)$", tok)
+    if m and m.group(1) in prefixes:
+        return f"<{prefixes[m.group(1)]}{m.group(2)}>"
+    return tok
+
+
+def parse_sparql(text: str) -> SelectQuery:
+    prefixes = dict(_PREFIX_RE.findall(text))
+    body = _PREFIX_RE.sub("", text)
+    msel = _SELECT_RE.search(body)
+    if not msel:
+        raise ValueError("only SELECT queries are supported")
+    distinct = bool(msel.group(1))
+    proj = msel.group(2).strip()
+    variables = [] if proj == "*" else [x.lstrip("?") for x in proj.split()]
+
+    # WHERE block: match braces from the end of the SELECT clause
+    start = body.index("{", msel.end() - 1)
+    depth, i = 0, start
+    while i < len(body):
+        if body[i] == "{":
+            depth += 1
+        elif body[i] == "}":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    where_src = body[start + 1 : i]
+    tail = body[i + 1 :]
+
+    group = _parse_group(where_src, prefixes)
+
+    mt = _TAIL_RE.search(tail)
+    order_by: list[tuple[str, bool]] = []
+    limit = offset = None
+    if mt:
+        if mt.group("order"):
+            for part in re.findall(
+                r"(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", mt.group("order"), re.IGNORECASE
+            ):
+                order_by.append((part[1], part[0].upper() != "DESC"))
+        if mt.group("limit"):
+            limit = int(mt.group("limit"))
+        if mt.group("offset"):
+            offset = int(mt.group("offset"))
+    return SelectQuery(variables, group, distinct, order_by, limit, offset)
+
+
+def _split_blocks(src: str) -> list[tuple[str, str]]:
+    """Split a group body into ('triples'|'optional'|'filter'|'union', src)
+    blocks at brace level 0."""
+    blocks: list[tuple[str, str]] = []
+    i, n = 0, len(src)
+    plain: list[str] = []
+
+    def flush():
+        chunk = "".join(plain).strip()
+        if chunk:
+            blocks.append(("triples", chunk))
+        plain.clear()
+
+    while i < n:
+        mopt = re.match(r"\s*OPTIONAL\s*\{", src[i:], re.IGNORECASE)
+        mfil = re.match(r"\s*FILTER\s*\(", src[i:], re.IGNORECASE)
+        mgrp = re.match(r"\s*\{", src[i:])
+        if mopt:
+            flush()
+            j = _match_brace(src, i + mopt.end() - 1)
+            blocks.append(("optional", src[i + mopt.end() : j]))
+            i = j + 1
+        elif mfil:
+            flush()
+            j = _match_paren(src, i + mfil.end() - 1)
+            blocks.append(("filter", src[i + mfil.end() : j]))
+            i = j + 1
+        elif mgrp:
+            # group — possibly a UNION chain { } UNION { } ...
+            flush()
+            branches = []
+            k = i
+            while True:
+                mb = re.match(r"\s*\{", src[k:])
+                if not mb:
+                    break
+                j = _match_brace(src, k + mb.end() - 1)
+                branches.append(src[k + mb.end() : j])
+                k = j + 1
+                mu = re.match(r"\s*UNION", src[k:], re.IGNORECASE)
+                if mu:
+                    k += mu.end()
+                else:
+                    break
+            blocks.append(("union", branches))  # type: ignore[arg-type]
+            i = k
+        else:
+            plain.append(src[i])
+            i += 1
+    flush()
+    return blocks
+
+
+def _match_brace(src: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(src)):
+        if src[i] == "{":
+            depth += 1
+        elif src[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced braces in SPARQL")
+
+
+def _match_paren(src: str, open_idx: int) -> int:
+    depth = 0
+    in_str = False
+    for i in range(open_idx, len(src)):
+        c = src[i]
+        if c == '"' and (i == 0 or src[i - 1] != "\\"):
+            in_str = not in_str
+        if in_str:
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parens in SPARQL FILTER")
+
+
+def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
+    g = Group()
+    for kind, chunk in _split_blocks(src):
+        if kind == "triples":
+            g.patterns.extend(_parse_triples(chunk, prefixes))
+        elif kind == "optional":
+            g.optionals.append(_parse_group(chunk, prefixes))
+        elif kind == "filter":
+            g.filters.append(Filter(_parse_filter(chunk, prefixes)))
+        elif kind == "union":
+            g.unions.append([_parse_group(b, prefixes) for b in chunk])
+    return g
+
+
+def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
+    out: list[TriplePattern] = []
+    for stmt in _split_statements(chunk):
+        toks = [t for t in _TOKEN_RE.findall(stmt) if t not in {".", ""}]
+        if not toks:
+            continue
+        if len(toks) % 3 != 0:
+            raise ValueError(f"cannot parse triple pattern: {stmt!r}")
+        for i in range(0, len(toks), 3):
+            s, p, o = (_expand(t, prefixes) for t in toks[i : i + 3])
+            out.append(TriplePattern(s, p, o))
+    return out
+
+
+def _split_statements(chunk: str) -> list[str]:
+    stmts, cur, in_str = [], [], False
+    for c in chunk:
+        if c == '"':
+            in_str = not in_str
+        if c == "." and not in_str:
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    stmts.append("".join(cur))
+    return [s for s in stmts if s.strip()]
+
+
+_CMP_RE = re.compile(
+    r"""^\s*(?P<l>\?[\w]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?|<[^>]*>|[-+]?\d+(?:\.\d+)?|\w+:[\w.%-]*)\s*
+        (?P<op>=|!=|<=|>=|<|>)\s*
+        (?P<r>\?[\w]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?|<[^>]*>|[-+]?\d+(?:\.\d+)?|\w+:[\w.%-]*)\s*$""",
+    re.VERBOSE,
+)
+
+
+def _parse_filter(src: str, prefixes: dict[str, str]) -> FilterNode:
+    src = src.strip()
+    # strip one redundant outer paren layer
+    while src.startswith("(") and _match_paren(src, 0) == len(src) - 1:
+        src = src[1:-1].strip()
+    # top-level || / &&
+    for op, name in (("||", "or"), ("&&", "and")):
+        parts = _split_top(src, op)
+        if len(parts) > 1:
+            return FilterNode(
+                name, [_parse_filter(p, prefixes) for p in parts]
+            )
+    if src.startswith("!") and not src.startswith("!="):
+        return FilterNode("not", [_parse_filter(src[1:], prefixes)])
+    mb = re.match(r"^BOUND\s*\(\s*\?(\w+)\s*\)$", src, re.IGNORECASE)
+    if mb:
+        return FilterNode("bound", [mb.group(1)])
+    mr = re.match(
+        r'^REGEX\s*\(\s*\?(\w+)\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)$',
+        src,
+        re.IGNORECASE,
+    )
+    if mr:
+        return FilterNode("regex", [mr.group(1), mr.group(2)])
+    mc = _CMP_RE.match(src)
+    if mc:
+        return FilterNode(
+            mc.group("op"),
+            [_expand(mc.group("l"), prefixes), _expand(mc.group("r"), prefixes)],
+        )
+    raise ValueError(f"unsupported FILTER expression: {src!r}")
+
+
+def _split_top(src: str, sep: str) -> list[str]:
+    parts, cur, depth, in_str = [], [], 0, False
+    i = 0
+    while i < len(src):
+        c = src[i]
+        if c == '"':
+            in_str = not in_str
+        if not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and src[i : i + 2] == sep:
+                parts.append("".join(cur))
+                cur = []
+                i += 2
+                continue
+        cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# evaluator: Group -> DataFrame of variable bindings
+# ---------------------------------------------------------------------------
+
+
+def _is_var(t: Term) -> bool:
+    return t.startswith("?")
+
+
+def _pattern_df(triples: DataFrame, tp: TriplePattern) -> DataFrame:
+    df = triples
+    cols: dict[str, Column] = {}
+    for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
+        if _is_var(term):
+            var = term[1:]
+            if var in cols:  # same var twice in one pattern: equality
+                df = df.where(F.col(pos) == cols[var])
+            else:
+                cols[var] = F.col(pos)
+        else:
+            df = df.where(F.col(pos) == F.lit(term))
+    return df.select([c.alias(v) for v, c in cols.items()])
+
+
+def _join_bindings(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
+    shared = [c for c in left.columns if c in right.columns]
+    if shared:
+        return left.join(right, on=shared, how=how)
+    if how == "left":
+        return left.crossJoin(right)  # OPTIONAL with no shared vars
+    return left.crossJoin(right)
+
+
+def _group_df(triples: DataFrame, g: Group) -> DataFrame:
+    parts: list[DataFrame] = [_pattern_df(triples, tp) for tp in g.patterns]
+    for branches in g.unions:
+        branch_dfs = [_group_df(triples, b) for b in branches]
+        parts.append(functools.reduce(DataFrame.unionByName, branch_dfs))
+    if not parts:
+        raise ValueError("empty group graph pattern")
+    df = functools.reduce(lambda a, b: _join_bindings(a, b, "inner"), parts)
+    for opt in g.optionals:
+        df = _join_bindings(df, _group_df(triples, opt), "left")
+    for f in g.filters:
+        df = df.where(_filter_col(f.expr, df))
+    return df
+
+
+_NUM_LIT_RE = re.compile(r'^"([-+]?\d+(?:\.\d+)?)"(?:\^\^<[^>]*>)?$')
+
+
+def _filter_operand(term, df: DataFrame) -> tuple[Column, bool]:
+    """-> (column, is_numeric)."""
+    if isinstance(term, str) and term.startswith("?"):
+        return F.col(term[1:]), False
+    if isinstance(term, str):
+        m = _NUM_LIT_RE.match(term)
+        if m:
+            return F.lit(float(m.group(1))), True
+        if re.match(r"^[-+]?\d+(\.\d+)?$", term):
+            return F.lit(float(term)), True
+        return F.lit(term), False
+    raise ValueError(f"bad filter operand {term!r}")
+
+
+def _numeric_value(col: Column) -> Column:
+    """Lexical N-Triples term -> numeric value (for </>/... on literals)."""
+    return F.regexp_extract(col, r'^"?([-+]?\d+(?:\.\d+)?)', 1).cast("double")
+
+
+def _filter_col(node: FilterNode, df: DataFrame) -> Column:
+    op = node.op
+    if op == "and":
+        return functools.reduce(
+            lambda a, b: a & b, [_filter_col(a, df) for a in node.args]
+        )
+    if op == "or":
+        return functools.reduce(
+            lambda a, b: a | b, [_filter_col(a, df) for a in node.args]
+        )
+    if op == "not":
+        return ~_filter_col(node.args[0], df)
+    if op == "bound":
+        return F.col(node.args[0]).isNotNull()
+    if op == "regex":
+        return F.col(node.args[0]).rlike(node.args[1])
+    l, lnum = _filter_operand(node.args[0], df)
+    r, rnum = _filter_operand(node.args[1], df)
+    numeric = lnum or rnum or op in {"<", "<=", ">", ">="}
+    if numeric:
+        lval = _numeric_value(l) if not lnum else l
+        rval = _numeric_value(r) if not rnum else r
+    else:
+        lval, rval = l, r
+    return {
+        "=": lval == rval,
+        "!=": lval != rval,
+        "<": lval < rval,
+        "<=": lval <= rval,
+        ">": lval > rval,
+        ">=": lval >= rval,
+    }[op]
+
+
+def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
+    """Evaluate a SPARQL SELECT (subset) over a (subj, pred, obj)
+    triple DataFrame; returns one column per projected variable."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    df = _group_df(triples, q.where)
+    if q.variables:
+        df = df.select(*q.variables)
+    if q.distinct:
+        df = df.dropDuplicates()
+    if q.order_by:
+        df = df.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
+        )
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
