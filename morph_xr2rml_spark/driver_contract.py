@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .compiler import MappingCompiler
 from .mapping import parse_mapping
-from .ops import dedup, similarity
+from .ops import dedup, multimodal, similarity
 from .ops import text as text_ops
 from .ops.hashing import md5_long_seeded_sql, md5_long_sql
 from .functions.encoding import _ENCODE_URL_PAIRS
@@ -40,6 +40,7 @@ from .pipeline import canonicalize, extract, mentions, pages
 from .pipeline.pages import WARC_EPOCH
 from .pipeline.run import emit_triples
 from .sources import SourceCatalog
+from .sparql import sparql_select
 
 # ---------------------------------------------------------------------------
 # shared constants / SQL fragment builders
@@ -1054,6 +1055,187 @@ LEFT JOIN iri_map mo ON raw.obj = mo.f
 
 
 # ---------------------------------------------------------------------------
+# xR2RML: blank-node subject + rr:language + explicit rr:datatype
+# override (P7 term typing/tagging paths)
+# ---------------------------------------------------------------------------
+
+DOCS_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+<#TMDoc>
+    xrr:logicalSource [ rr:tableName "documents"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "doc{doc_id}"; rr:termType rr:BlankNode ];
+    rr:predicateObjectMap [
+        rr:predicate ex:text;
+        rr:objectMap [ rr:column "text"; rr:language "en" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:nchars;
+        rr:objectMap [ rr:column "n_chars"; rr:datatype xsd:long ];
+    ];
+    .
+"""
+
+
+def q_xr2rml_lang_datatype_bnode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = SourceCatalog(spark).register(
+        "documents", _load(spark, sf_dir, "documents")
+    )
+    return MappingCompiler(spark, parse_mapping(DOCS_TTL), catalog).triples()
+
+
+SQL_XR2RML_LANG_DT_BNODE = f"""
+WITH d AS (SELECT '_:doc' || doc_id AS s, * FROM documents)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s AS subj, '<{ONT}text>' AS pred, '"' || text || '"@en' AS obj FROM d
+    UNION ALL
+    SELECT s, '<{ONT}nchars>',
+           '"' || n_chars || '"^^<http://www.w3.org/2001/XMLSchema#long>' FROM d
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload -> mapInPandas feature extraction
+# (deterministic fake decoder; real codecs are a one-function swap).
+# The fake decode is a 16-bin byte histogram, so the oracle recomputes
+# it from the UTF-8 bytes (the corpus is ASCII: ascii(char) == byte).
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    mm = multimodal.attach_fake_payload(docs)
+    feats = multimodal.extract_features(mm, fake=True)
+    return feats.select(
+        "doc_id",
+        F.transform(
+            "features",
+            lambda x: F.floor(x.cast("double") * F.lit(10000.0)).cast("long"),
+        ).alias("feature_bp"),
+        "n_bytes",
+    )
+
+
+def _sql_multimodal() -> str:
+    bins = ", ".join(
+        "CAST(floor(CAST(CAST("
+        f"CAST(len([y FOR y IN bytes IF y >= {b * 16} AND y < {b * 16 + 16}]) AS DOUBLE)"
+        " / greatest(len(bytes), 1) AS REAL) AS DOUBLE) * 10000.0) AS BIGINT)"
+        for b in range(multimodal.FEATURE_DIM)
+    )
+    return f"""
+WITH b AS (
+    SELECT doc_id,
+           [ascii(x) FOR x IN split(text, '')] AS bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+)
+SELECT doc_id, [{bins}] AS feature_bp, n_bytes FROM b
+"""
+
+
+SQL_MULTIMODAL_FEATURES = _sql_multimodal()
+
+
+# ---------------------------------------------------------------------------
+# 26-28. SPARQL SELECT over the materialized triple table (§2.12 — the
+#        DataFrame replacement for the reference's query rewriting).
+#        Oracles evaluate the same algebra as SQL self-joins over the
+#        same triples CTE.
+# ---------------------------------------------------------------------------
+
+
+def _kg_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, p, m, ents = _mention_frames(spark, sf_dir)
+    return emit_triples(spark, p, m, ents)
+
+
+SPARQL_BGP_JOIN = """
+PREFIX kg: <http://kg.example.org/ontology#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT DISTINCT ?page ?label WHERE {
+    ?page kg:mentions ?ent .
+    ?ent rdfs:label ?label .
+}
+"""
+
+
+def q_sparql_bgp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_kg_trip(spark, sf_dir), SPARQL_BGP_JOIN)
+
+
+SQL_SPARQL_BGP_JOIN = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t)
+SELECT DISTINCT t1.subj AS page, t2.obj AS label
+FROM trip t1 JOIN trip t2 ON t1.obj = t2.subj
+WHERE t1.pred = '<{KG}ontology#mentions>'
+  AND t2.pred = '<http://www.w3.org/2000/01/rdf-schema#label>'
+"""
+
+
+SPARQL_OPTIONAL_FILTER = """
+PREFIX ex: <http://example.org/ontology#>
+SELECT ?ord ?cust WHERE {
+    ?ord ex:status ?status .
+    OPTIONAL { ?ord ex:customer ?cust }
+    FILTER (?status = "O")
+}
+"""
+
+
+def q_sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(q_xr2rml_refobjectmap(spark, sf_dir), SPARQL_OPTIONAL_FILTER)
+
+
+SQL_SPARQL_OPTIONAL_FILTER = f"""
+WITH c AS (SELECT '<{EX}customer/' || c_custkey || '>' AS s, * FROM customer),
+     o AS (SELECT '<{EX}order/' || o_orderkey || '>' AS s, * FROM orders),
+trip AS (
+    SELECT DISTINCT subj, pred, obj FROM (
+        SELECT s AS subj, '{RDF_TYPE}' AS pred, '<{ONT}Customer>' AS obj FROM c
+        UNION ALL SELECT s, '<{ONT}name>', '"' || c_name || '"' FROM c
+        UNION ALL SELECT s, '<{ONT}status>', '"' || o_orderstatus || '"' FROM o
+        UNION ALL SELECT o.s, '<{ONT}customer>', c.s
+                  FROM o JOIN c ON o.o_custkey = c.c_custkey
+    ) t
+)
+SELECT t1.subj AS ord, t2.obj AS cust
+FROM trip t1
+LEFT JOIN (SELECT subj, obj FROM trip WHERE pred = '<{ONT}customer>') t2
+       ON t1.subj = t2.subj
+WHERE t1.pred = '<{ONT}status>' AND t1.obj = '"O"'
+"""
+
+
+SPARQL_NUMERIC_FILTER = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?page ?n WHERE {
+    ?page kg:mentionCount ?n
+    FILTER (?n >= 10)
+}
+"""
+
+
+def q_sparql_numeric_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_kg_trip(spark, sf_dir), SPARQL_NUMERIC_FILTER)
+
+
+SQL_SPARQL_NUMERIC_FILTER = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t)
+SELECT subj AS page, obj AS n
+FROM trip
+WHERE pred = '<{KG}ontology#mentionCount>'
+  AND CAST(regexp_extract(obj, '^"?([-+]?[0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE) >= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1063,6 +1245,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "xr2rml_refobjectmap_join": (q_xr2rml_refobjectmap, SQL_XR2RML_REFOBJECTMAP),
     "xr2rml_mixed_syntax_path": (q_xr2rml_mixed_path, SQL_XR2RML_MIXED_PATH),
     "xr2rml_rdf_list": (q_xr2rml_rdf_list, None),
+    "xr2rml_lang_datatype_bnode": (
+        q_xr2rml_lang_datatype_bnode,
+        SQL_XR2RML_LANG_DT_BNODE,
+    ),
     "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY),
     "join_revenue_by_segment": (q_join_revenue_by_segment, SQL_JOIN_REVENUE_BY_SEGMENT),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
@@ -1090,6 +1276,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kg_triples_raw": (q_kg_triples_raw, SQL_KG_TRIPLES_RAW),
     "kg_canonical_map": (q_kg_canonical_map, SQL_KG_CANONICAL_MAP),
     "kg_triples_canonical": (q_kg_triples_canonical, SQL_KG_TRIPLES_CANONICAL),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "sparql_bgp_join": (q_sparql_bgp_join, SQL_SPARQL_BGP_JOIN),
+    "sparql_optional_filter": (q_sparql_optional_filter, SQL_SPARQL_OPTIONAL_FILTER),
+    "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),
 }
 
 
