@@ -67,6 +67,19 @@ TRIPLE_SCHEMA = T.StructType(
     ]
 )
 
+QUAD_SCHEMA = T.StructType(
+    TRIPLE_SCHEMA.fields + [T.StructField("graph", T.StringType())]
+)
+
+
+def _cross_constant_graphs(
+    branch: DataFrame, graphs: list[str | None]
+) -> list[DataFrame]:
+    """Attach each constant graph term to a (subj,pred,obj) branch."""
+    return [
+        branch.withColumn("graph", F.lit(g).cast("string")) for g in graphs
+    ]
+
 
 @dataclass
 class CompileOptions:
@@ -115,7 +128,8 @@ class MappingCompiler:
 
     def triples(self) -> DataFrame:
         """Union of all triples maps (translateData_Materialization
-        :49-65 analogue), deduplicated."""
+        :49-65 analogue), deduplicated. Graph maps, if any, are
+        projected away (the N-Triples view of the quad output)."""
         dfs = [self.triples_for(name) for name in self.doc.triples_maps]
         dfs = [d for d in dfs if d is not None]
         if not dfs:
@@ -125,7 +139,26 @@ class MappingCompiler:
             out = out.dropDuplicates(["subj", "pred", "obj"])
         return out
 
-    def triples_for(self, tm_name: str) -> DataFrame:
+    def quads(self) -> DataFrame:
+        """(subj, pred, obj, graph) union across triples maps; graph is
+        NULL for the default graph (N-Quads view, S7/S8 with named
+        graphs)."""
+        dfs = [self.quads_for(name) for name in self.doc.triples_maps]
+        dfs = [d for d in dfs if d is not None]
+        if not dfs:
+            return self.spark.createDataFrame([], QUAD_SCHEMA)
+        out = functools.reduce(DataFrame.unionByName, dfs)
+        if self.options.dedup:
+            out = out.dropDuplicates(["subj", "pred", "obj", "graph"])
+        return out
+
+    def quads_for(self, tm_name: str) -> DataFrame:
+        """(subj, pred, obj, graph) for one triples map; graph is NULL
+        for the default graph. Named-graph semantics follow
+        materializeQuads' S x P x (O u RO) x G (MorphBaseMaterializer
+        .scala:159-200): POM triples go into subjectMap graphs u POM
+        graphs; rr:class triples into subjectMap graphs; no graphs =>
+        default graph."""
         tm = self.doc.triples_maps[tm_name]
         base, doc_col = self._resolved_base(tm)
 
@@ -151,21 +184,56 @@ class MappingCompiler:
             base = base.withColumn(name, expr.col)
             return _TermExpr(F.col(name), expr.is_array)
 
-        # rdf:type triples per rr:class (P8)
+        def graph_array(exprs: list[_TermExpr]) -> Column:
+            """Graph-term array for a branch; [NULL] = default graph."""
+            if not exprs:
+                return F.array(F.lit(None).cast("string"))
+            arrs = [e.as_array() for e in exprs]
+            combined = F.flatten(F.array(*arrs)) if len(arrs) > 1 else arrs[0]
+            return F.when(F.size(combined) > 0, combined).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+
+        subj_graphs = [
+            materialize(self._compile_term_map(gm, base, doc_col))
+            for gm in tm.subject_map.graph_maps
+        ]
+
+        def with_graphs(pairs: Column, graphs: Column) -> Column:
+            """(p,o) struct array x graph array -> (p,o,g) struct array."""
+            return F.flatten(
+                F.transform(
+                    graphs,
+                    lambda g: F.transform(
+                        pairs,
+                        lambda po: F.struct(
+                            po["p"].alias("p"), po["o"].alias("o"), g.alias("g")
+                        ),
+                    ),
+                )
+            )
+
+        # rdf:type triples per rr:class (P8), into the subject graphs
         for class_uri in tm.subject_map.class_uris:
             pair_arrays.append(
-                F.array(
-                    F.struct(
-                        F.lit(f"<{terms.RDF_TYPE}>").alias("p"),
-                        F.lit(terms.make_iri(class_uri, False)).alias("o"),
-                    )
+                with_graphs(
+                    F.array(
+                        F.struct(
+                            F.lit(f"<{terms.RDF_TYPE}>").alias("p"),
+                            F.lit(terms.make_iri(class_uri, False)).alias("o"),
+                        )
+                    ),
+                    graph_array(subj_graphs),
                 )
             )
 
         collection_jobs = []
         for pom in tm.predicate_object_maps:
-            if pom.graph_maps:
-                raise NotImplementedError("named graph maps not supported yet")
+            pom_graphs = [
+                materialize(self._compile_term_map(gm, base, doc_col))
+                for gm in pom.graph_maps
+            ]
+            graphs = graph_array(subj_graphs + pom_graphs)
             pred_exprs = [
                 materialize(self._compile_term_map(pm, base, doc_col))
                 for pm in pom.predicate_maps
@@ -174,17 +242,23 @@ class MappingCompiler:
                 obj = materialize(self._compile_term_map(om, base, doc_col))
                 coll_tt = om.collection_term_type()
                 if coll_tt:
+                    const_graphs = self._constant_graph_terms(tm.subject_map, pom)
                     for pe in pred_exprs:
-                        collection_jobs.append((pe, obj, coll_tt))
+                        collection_jobs.append((pe, obj, coll_tt, const_graphs))
                 else:
                     for pe in pred_exprs:
-                        pair_arrays.append(self._pairs(pe, obj))
+                        pair_arrays.append(with_graphs(self._pairs(pe, obj), graphs))
 
-        for pe, obj, coll_tt in collection_jobs:
-            branches.append(self._collection_branch(base, pe, obj, coll_tt))
+        for pe, obj, coll_tt, const_graphs in collection_jobs:
+            cb = self._collection_branch(base, pe, obj, coll_tt)
+            branches.extend(_cross_constant_graphs(cb, const_graphs))
         for pom in tm.predicate_object_maps:
+            if not pom.ref_object_maps:
+                continue
+            const_graphs = self._constant_graph_terms(tm.subject_map, pom)
             for rom in pom.ref_object_maps:
-                branches.extend(self._ref_object_branches(tm, base, pom, rom))
+                for rb in self._ref_object_branches(tm, base, pom, rom):
+                    branches.extend(_cross_constant_graphs(rb, const_graphs))
 
         if pair_arrays:
             combined = (
@@ -198,6 +272,7 @@ class MappingCompiler:
                     F.col("__subj").alias("subj"),
                     F.col("po.p").alias("pred"),
                     F.col("po.o").alias("obj"),
+                    F.col("po.g").alias("graph"),
                 )
             )
             branches.insert(0, main)
@@ -205,6 +280,30 @@ class MappingCompiler:
         if not branches:
             return None
         return functools.reduce(DataFrame.unionByName, branches)
+
+    def triples_for(self, tm_name: str) -> DataFrame:
+        q = self.quads_for(tm_name)
+        return q.select("subj", "pred", "obj") if q is not None else None
+
+    def _constant_graph_terms(self, subject_map, pom) -> list[str | None]:
+        """Graph IRIs for collection/RefObjectMap branches. These
+        branches leave the source row behind (groupBy / join), so only
+        constant graph maps are supported there — the common case; the
+        main projection path supports all term-map kinds."""
+        gms = list(subject_map.graph_maps) + list(pom.graph_maps)
+        if not gms:
+            return [None]
+        out: list[str | None] = []
+        for gm in gms:
+            if gm.kind != CONSTANT:
+                raise NotImplementedError(
+                    "non-constant graph maps on collection/RefObjectMap "
+                    "branches are not supported"
+                )
+            out.append(
+                terms.make_iri(gm.constant, self.options.encode_unsafe_chars_in_uri)
+            )
+        return out
 
     # ------------------------------------------------------------------
     # source resolution

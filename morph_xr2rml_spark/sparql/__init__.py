@@ -1,3 +1,14 @@
 from .bgp import SelectQuery, parse_sparql, sparql_select
+from .results import ask, parse_term, to_sparql_json, to_sparql_xml, write_csv, write_tsv
 
-__all__ = ["SelectQuery", "parse_sparql", "sparql_select"]
+__all__ = [
+    "SelectQuery",
+    "ask",
+    "parse_sparql",
+    "parse_term",
+    "sparql_select",
+    "to_sparql_json",
+    "to_sparql_xml",
+    "write_csv",
+    "write_tsv",
+]

@@ -125,3 +125,53 @@ def test_order_limit(triples):
         SELECT ?n WHERE { ?x ex:name ?n } ORDER BY ?n LIMIT 2""",
     )
     assert [r["n"] for r in out.collect()] == ['"alice"', '"bob"']
+
+
+def test_result_serialization(spark, triples):
+    import json as _json
+
+    from morph_xr2rml_spark.sparql import ask, to_sparql_json, to_sparql_xml
+
+    df = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n ?age WHERE {
+            ?x ex:name ?n OPTIONAL { ?x ex:age ?age } } ORDER BY ?n""",
+    )
+    doc = _json.loads(to_sparql_json(df))
+    assert doc["head"]["vars"] == ["x", "n", "age"]
+    b0 = doc["results"]["bindings"][0]
+    assert b0["x"]["type"] == "uri" and b0["x"]["value"] == "http://example.org/p/1"
+    assert b0["n"] == {"type": "literal", "value": "alice"}
+    assert b0["age"]["datatype"].endswith("integer")
+    # carol has no age -> var absent from her binding
+    assert "age" not in doc["results"]["bindings"][2]
+
+    xml = to_sparql_xml(df)
+    assert '<variable name="n"/>' in xml
+    assert "<uri>http://example.org/p/1</uri>" in xml
+    assert 'datatype="http://www.w3.org/2001/XMLSchema#integer">30</literal>' in xml
+
+    assert ask(df) is True
+    assert ask(df.where("n = '\"nobody\"'")) is False
+
+
+def test_result_csv_tsv(spark, triples, tmp_path):
+    from morph_xr2rml_spark.sparql import write_csv, write_tsv
+
+    df = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n WHERE { ?x ex:name ?n }""",
+    )
+    csv_dir = str(tmp_path / "csv")
+    write_csv(df, csv_dir)
+    back = spark.read.option("header", True).csv(csv_dir)
+    vals = {(r["x"], r["n"]) for r in back.collect()}
+    assert ("http://example.org/p/1", "alice") in vals
+
+    tsv_dir = str(tmp_path / "tsv")
+    write_tsv(df, tsv_dir)
+    back2 = spark.read.option("header", True).option("sep", "\t").csv(tsv_dir)
+    vals2 = {(r["x"], r["n"]) for r in back2.collect()}
+    assert ("<http://example.org/p/1>", '"alice"') in vals2
