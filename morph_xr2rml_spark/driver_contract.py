@@ -1235,6 +1235,57 @@ WHERE pred = '<{KG}ontology#mentionCount>'
 """
 
 
+SPARQL_GROUP_COUNT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?ent (COUNT(?page) AS ?n_pages) WHERE {
+    ?page kg:mentions ?ent .
+} GROUP BY ?ent
+"""
+
+
+def q_sparql_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sparql_select(_kg_trip(spark, sf_dir), SPARQL_GROUP_COUNT)
+    return df.select("ent", F.col("n_pages").cast("long").alias("n_pages"))
+
+
+SQL_SPARQL_GROUP_COUNT = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t)
+SELECT obj AS ent, CAST(count(*) AS BIGINT) AS n_pages
+FROM trip WHERE pred = '<{KG}ontology#mentions>'
+GROUP BY obj
+"""
+
+
+SPARQL_CONSTRUCT_INVERSE = """
+PREFIX ex: <http://example.org/ontology#>
+CONSTRUCT { ?cust ex:hasOrder ?ord . ?cust a ex:Buyer }
+WHERE { ?ord ex:customer ?cust }
+"""
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import sparql_construct
+
+    return sparql_construct(
+        q_xr2rml_refobjectmap(spark, sf_dir), SPARQL_CONSTRUCT_INVERSE
+    )
+
+
+SQL_SPARQL_CONSTRUCT = f"""
+WITH pairs AS (
+    SELECT DISTINCT '<{EX}order/' || o_orderkey || '>' AS ord,
+                    '<{EX}customer/' || c_custkey || '>' AS cust
+    FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT cust AS subj, '<{ONT}hasOrder>' AS pred, ord AS obj FROM pairs
+    UNION ALL
+    SELECT cust, '{RDF_TYPE}', '<{ONT}Buyer>' FROM pairs
+) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1280,6 +1331,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_bgp_join": (q_sparql_bgp_join, SQL_SPARQL_BGP_JOIN),
     "sparql_optional_filter": (q_sparql_optional_filter, SQL_SPARQL_OPTIONAL_FILTER),
     "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),
+    "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
+    "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
 }
 
 

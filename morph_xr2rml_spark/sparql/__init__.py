@@ -1,4 +1,10 @@
-from .bgp import SelectQuery, parse_sparql, sparql_select
+from .bgp import (
+    SelectQuery,
+    parse_sparql,
+    sparql_construct,
+    sparql_describe,
+    sparql_select,
+)
 from .results import ask, parse_term, to_sparql_json, to_sparql_xml, write_csv, write_tsv
 
 __all__ = [
@@ -6,6 +12,8 @@ __all__ = [
     "ask",
     "parse_sparql",
     "parse_term",
+    "sparql_construct",
+    "sparql_describe",
     "sparql_select",
     "to_sparql_json",
     "to_sparql_xml",

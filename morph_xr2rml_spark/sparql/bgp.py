@@ -73,6 +73,13 @@ class Group:
 
 
 @dataclass
+class Aggregate:
+    func: str  # 'count' | 'sum' | 'avg' | 'min' | 'max'
+    var: str | None  # None = COUNT(*)
+    alias: str
+
+
+@dataclass
 class SelectQuery:
     variables: list[str]  # without '?'; empty = *
     where: Group
@@ -80,6 +87,8 @@ class SelectQuery:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
+    aggregates: list[Aggregate] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 # filter expression tree
@@ -98,8 +107,15 @@ _SELECT_RE = re.compile(
     r"SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE", re.IGNORECASE | re.DOTALL
 )
 _TAIL_RE = re.compile(
+    r"(GROUP\s+BY\s+(?P<group>[^{}]+?))?\s*"
     r"(ORDER\s+BY\s+(?P<order>[^{}]+?))?\s*"
     r"(LIMIT\s+(?P<limit>\d+))?\s*(OFFSET\s+(?P<offset>\d+))?\s*$",
+    re.IGNORECASE,
+)
+
+_AGG_RE = re.compile(
+    r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
+    r"(?P<arg>\*|\?\w+)\s*\)\s+AS\s+\?(?P<alias>\w+)\s*\)$",
     re.IGNORECASE,
 )
 
@@ -135,7 +151,22 @@ def parse_sparql(text: str) -> SelectQuery:
         raise ValueError("only SELECT queries are supported")
     distinct = bool(msel.group(1))
     proj = msel.group(2).strip()
-    variables = [] if proj == "*" else [x.lstrip("?") for x in proj.split()]
+    variables: list[str] = []
+    aggregates: list[Aggregate] = []
+    if proj != "*":
+        for item in re.findall(r"\([^)]*\([^)]*\)[^)]*\)|\?\w+", proj):
+            ma = _AGG_RE.match(item)
+            if ma:
+                arg = ma.group("arg")
+                aggregates.append(
+                    Aggregate(
+                        ma.group("func").lower(),
+                        None if arg == "*" else arg[1:],
+                        ma.group("alias"),
+                    )
+                )
+            else:
+                variables.append(item.lstrip("?"))
 
     # WHERE block: match braces from the end of the SELECT clause
     start = body.index("{", msel.end() - 1)
@@ -155,8 +186,11 @@ def parse_sparql(text: str) -> SelectQuery:
 
     mt = _TAIL_RE.search(tail)
     order_by: list[tuple[str, bool]] = []
+    group_by: list[str] = []
     limit = offset = None
     if mt:
+        if mt.group("group"):
+            group_by = [v.lstrip("?") for v in mt.group("group").split()]
         if mt.group("order"):
             for part in re.findall(
                 r"(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", mt.group("order"), re.IGNORECASE
@@ -166,7 +200,9 @@ def parse_sparql(text: str) -> SelectQuery:
             limit = int(mt.group("limit"))
         if mt.group("offset"):
             offset = int(mt.group("offset"))
-    return SelectQuery(variables, group, distinct, order_by, limit, offset)
+    return SelectQuery(
+        variables, group, distinct, order_by, limit, offset, aggregates, group_by
+    )
 
 
 def _split_blocks(src: str) -> list[tuple[str, str]]:
@@ -462,12 +498,38 @@ def _filter_col(node: FilterNode, df: DataFrame) -> Column:
     }[op]
 
 
+def _agg_col(agg: Aggregate) -> Column:
+    """SPARQL aggregate -> Spark aggregate (A1/A2: the reference
+    supports single-variable AVG/SUM/COUNT/MAX/MIN,
+    MorphRDBQueryTranslator.transGroup:439-530). COUNT counts
+    bindings; the numeric aggregates operate on the parsed numeric
+    value of the literal terms."""
+    if agg.func == "count":
+        c = F.count(F.lit(1)) if agg.var is None else F.count(F.col(agg.var))
+        return c.alias(agg.alias)
+    v = _numeric_value(F.col(agg.var))
+    return {
+        "sum": F.sum(v),
+        "avg": F.avg(v),
+        "min": F.min(v),
+        "max": F.max(v),
+    }[agg.func].alias(agg.alias)
+
+
 def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
     """Evaluate a SPARQL SELECT (subset) over a (subj, pred, obj)
     triple DataFrame; returns one column per projected variable."""
     q = parse_sparql(query) if isinstance(query, str) else query
     df = _group_df(triples, q.where)
-    if q.variables:
+    if q.aggregates:
+        aggs = [_agg_col(a) for a in q.aggregates]
+        if q.group_by:
+            df = df.groupBy(*q.group_by).agg(*aggs)
+        else:
+            df = df.agg(*aggs)
+        keep = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
+        df = df.select(*[c for c in keep if c in df.columns])
+    elif q.variables:
         df = df.select(*q.variables)
     if q.distinct:
         df = df.dropDuplicates()
@@ -480,3 +542,54 @@ def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
     if q.limit is not None:
         df = df.limit(q.limit)
     return df
+
+
+_CONSTRUCT_RE = re.compile(
+    r"CONSTRUCT\s*\{(?P<template>.*?)\}\s*WHERE", re.IGNORECASE | re.DOTALL
+)
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """CONSTRUCT (subset): instantiate the template triple patterns
+    from the WHERE bindings -> a new (subj, pred, obj) DataFrame
+    (S9's CONSTRUCT->RDF path). Unbound-variable rows are dropped per
+    SPARQL semantics; output is deduplicated (graph set semantics)."""
+    prefixes = dict(_PREFIX_RE.findall(query))
+    body = _PREFIX_RE.sub("", query)
+    mc = _CONSTRUCT_RE.search(body)
+    if not mc:
+        raise ValueError("not a CONSTRUCT query")
+    template = _parse_triples(mc.group("template"), prefixes)
+    start = body.index("{", mc.end() - 1)
+    end = _match_brace(body, start)
+    where = _parse_group(body[start + 1 : end], prefixes)
+    bindings = _group_df(triples, where)
+
+    def term_col(t: Term) -> Column:
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    outs = []
+    for tp in template:
+        out = bindings.select(
+            term_col(tp.s).alias("subj"),
+            term_col(tp.p).alias("pred"),
+            term_col(tp.o).alias("obj"),
+        ).where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        outs.append(out)
+    return functools.reduce(DataFrame.unionByName, outs).dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+
+
+def sparql_describe(triples: DataFrame, resource: str) -> DataFrame:
+    """DESCRIBE <iri>: every triple where the resource is subject or
+    object (the reference expands DESCRIBE the same way,
+    SparqlQueryRewriter.expandDescribe)."""
+    iri = resource if resource.startswith("<") else f"<{resource}>"
+    return triples.where(
+        (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
+    )

@@ -175,3 +175,88 @@ def test_result_csv_tsv(spark, triples, tmp_path):
     back2 = spark.read.option("header", True).option("sep", "\t").csv(tsv_dir)
     vals2 = {(r["x"], r["n"]) for r in back2.collect()}
     assert ("<http://example.org/p/1>", '"alice"') in vals2
+
+
+def test_aggregates_group_by(spark, triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x ex:knows ?y } GROUP BY ?x""",
+    )
+    got = {r["x"]: r["n"] for r in out.collect()}
+    assert got == {f"<{EX}p/1>": 1, f"<{EX}p/2>": 1}
+
+    total = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT (COUNT(*) AS ?n) (AVG(?age) AS ?avg_age)
+               (MAX(?age) AS ?max_age) WHERE { ?x ex:age ?age }""",
+    ).collect()[0]
+    assert total["n"] == 2
+    assert total["avg_age"] == pytest.approx(23.5)
+    assert total["max_age"] == 30.0
+
+
+def test_construct(spark, triples):
+    from morph_xr2rml_spark.sparql import sparql_construct
+
+    out = sparql_construct(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        CONSTRUCT { ?y ex:knownBy ?x . ?y a ex:Known }
+        WHERE { ?x ex:knows ?y }""",
+    )
+    got = {tuple(r) for r in out.collect()}
+    assert (f"<{EX}p/2>", f"<{EX}knownBy>", f"<{EX}p/1>") in got
+    assert (f"<{EX}p/3>",
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+            f"<{EX}Known>") in got
+    assert len(got) == 4
+
+
+def test_describe(spark, triples):
+    from morph_xr2rml_spark.sparql import sparql_describe
+
+    out = sparql_describe(triples, f"{EX}p/2")
+    got = {tuple(r) for r in out.collect()}
+    assert (f"<{EX}p/1>", f"<{EX}knows>", f"<{EX}p/2>") in got
+    assert (f"<{EX}p/2>", f"<{EX}name>", '"bob"') in got
+    assert all(f"<{EX}p/2>" in (s, o) for s, _, o in got)
+
+
+def test_serialize_sinks(spark, triples, tmp_path):
+    from morph_xr2rml_spark.sinks import to_jsonld, to_turtle, write_ntriples
+
+    nt_dir = str(tmp_path / "nt")
+    write_ntriples(triples, nt_dir)
+    lines = {r["value"] for r in spark.read.text(nt_dir).collect()}
+    assert f'<{EX}p/1> <{EX}name> "alice" .' in lines
+    assert len(lines) == triples.count()
+
+    ttl = to_turtle(triples, prefixes={"ex": EX})
+    assert "@prefix ex: <http://example.org/> ." in ttl
+    assert 'ex:name "alice"' in ttl
+    assert "a ex:Person" in ttl
+
+    import json as _json
+
+    doc = _json.loads(to_jsonld(triples))
+    byid = {n["@id"]: n for n in doc}
+    assert byid[f"{EX}p/1"]["@type"] == [f"{EX}Person"]
+    assert {"@value": "alice"} in byid[f"{EX}p/1"][f"{EX}name"]
+
+
+def test_write_nquads(spark, tmp_path):
+    from morph_xr2rml_spark.sinks import write_nquads
+
+    quads = spark.createDataFrame(
+        [
+            ("<s1>", "<p>", "<o>", "<g1>"),
+            ("<s2>", "<p>", '"v"', None),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    out = str(tmp_path / "nq")
+    write_nquads(quads, out)
+    lines = {r["value"] for r in spark.read.text(out).collect()}
+    assert lines == {"<s1> <p> <o> <g1> .", '<s2> <p> "v" .'}
