@@ -488,14 +488,23 @@ GROUP BY content_hash
 # 12. n-gram Jaccard near-dup (shingle explode + equi-join; never a cross join)
 # ---------------------------------------------------------------------------
 
-_JK = 2  # shingle width (testdata docs are short word-soup; k=2 yields overlap)
+# Shingle width 3: on this small-vocabulary corpus k=2 bigrams are almost
+# all stop-shingles (posting-list join fan-out 73M rows at sf0.1 and real
+# near-dups drowned); trigrams cut the join to ~2.8M rows and find the
+# same pairs. The max_df cap stays as the web-scale backstop.
+_JK = 3
 _JTHRESH = 0.2
-_JMAXDF = 64  # stop-shingle posting-list cap — mandatory at web scale
+# stop-shingle posting-list cap — mandatory at web scale; scales with the
+# corpus (5%, floored at 64) so small corpora keep their full shingle set
+_JMAXDF_FLOOR = 64
+_JMAXDF_FRAC = 20  # cap = max(floor, n_docs // frac)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    max_df = max(_JMAXDF_FLOOR, docs.count() // _JMAXDF_FRAC)
     df = dedup.ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), k=_JK, threshold=_JTHRESH, max_df=_JMAXDF
+        docs, k=_JK, threshold=_JTHRESH, max_df=max_df
     )
     return df.select(
         "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard_bp"
@@ -520,7 +529,9 @@ ex AS (SELECT doc_id, len(shset) AS n_shingles, unnest(shset) AS shingle FROM sh
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_sql_shingles(_JK)},
-rare AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= {_JMAXDF}),
+rare AS (SELECT shingle FROM ex GROUP BY shingle
+         HAVING count(*) <= greatest({_JMAXDF_FLOOR},
+                                     (SELECT count(*) FROM documents) // {_JMAXDF_FRAC})),
 exf AS (SELECT ex.* FROM ex JOIN rare USING (shingle))
 SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
        CAST(floor(jac * 10000.0) AS BIGINT) AS jaccard_bp
