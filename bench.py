@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "text_analysis",
+    "multimodal_features",
+    "sparql_bgp_join",
+    "sparql_group_count",
+    "sparql_construct",
     "kg_triples_canonical",
 ]
 

@@ -66,6 +66,22 @@ class SourceCatalog:
             return self.tables[name]
         return self.spark.table(name)
 
+    def _normalize_width(self, df: DataFrame) -> DataFrame:
+        """Widen under-parallelized scans to the session's parallelism.
+
+        A single parquet file splits at row-group granularity, so a
+        compact table can come back as a handful of partitions no
+        matter how many cores the cluster has; every downstream
+        per-row stage (term construction, template encoding, explode)
+        then runs nearly serial. One cheap shuffle of the raw source
+        fixes the whole pipeline's width. Term values and row ids are
+        content-derived, so results are partitioning-independent.
+        """
+        target = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() * 2 < target:
+            return df.repartition(target)
+        return df
+
     def resolve(self, ls: LogicalSource) -> tuple[DataFrame, str | None]:
         """Return (DataFrame, doc_column) for a logical source.
 
@@ -86,6 +102,8 @@ class SourceCatalog:
                     tdf.createOrReplaceTempView(tname)
                 df = self.spark.sql(ls.value)
                 name = None
+
+        df = self._normalize_width(df)
 
         if ls.formulation == "Column":
             return df, None
