@@ -100,6 +100,11 @@ def _shingles_udf(k: int):
     def batch(norm: pd.Series) -> pd.Series:
         out = []
         for t in norm:
+            if not isinstance(t, str):
+                # NULL text arrives as None/NaN; match the Column-based
+                # word_shingles path, which yields [''] on null input
+                out.append([""])
+                continue
             toks = t.split(" ")
             if len(toks) >= k:
                 sh = list(
@@ -453,7 +458,10 @@ def embedding_neardup_pairs(
         n = df.select(
             F.col(id_col),
             normalize_vec(F.col(vec_col), dim).alias("nv"),
-            (F.col(id_col) % blocks).cast("int").alias("blk"),
+            # pmod, not %: Spark's % keeps the dividend's sign, so
+            # negative ids would land in [-blocks+1, 0) and silently
+            # match no bucket_pairs row
+            F.pmod(F.col(id_col), F.lit(blocks)).cast("int").alias("blk"),
         )
         # full product (not upper triangle): bucket order does not follow
         # id order, the id_a < id_b filter already keeps each pair once

@@ -317,11 +317,18 @@ def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
 
 
 def _split_statements(chunk: str) -> list[str]:
-    stmts, cur, in_str = [], [], False
+    """Split on '.' statement separators only — not dots inside string
+    literals or inside <IRI> tokens (http://... contains dots)."""
+    stmts, cur, in_str, in_iri = [], [], False, False
     for c in chunk:
-        if c == '"':
+        if c == '"' and not in_iri:
             in_str = not in_str
-        if c == "." and not in_str:
+        elif not in_str:
+            if c == "<":
+                in_iri = True
+            elif c == ">":
+                in_iri = False
+        if c == "." and not in_str and not in_iri:
             stmts.append("".join(cur))
             cur = []
         else:
@@ -423,7 +430,11 @@ def _join_bindings(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
     if shared:
         return left.join(right, on=shared, how=how)
     if how == "left":
-        return left.crossJoin(right)  # OPTIONAL with no shared vars
+        # OPTIONAL with no shared vars: SPARQL leftjoin keeps every
+        # left solution even when the optional group has zero rows, so
+        # a plain crossJoin (which would yield zero rows then) is
+        # wrong — left-join on a constant-true condition instead.
+        return left.join(right, F.lit(True), "left")
     return left.crossJoin(right)
 
 

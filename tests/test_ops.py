@@ -152,3 +152,31 @@ def test_ops_on_testdata(spark):
     q = emb.where(F.col("vec_id") < 3)
     topk = similarity.cosine_topk(emb, q, k=5)
     assert topk.count() == 15
+
+
+def test_embedding_neardup_negative_ids(spark):
+    # regression: block partitioning must use pmod — rows with negative
+    # ids previously hashed to negative buckets and were silently dropped
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 8).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(8).astype(np.float32)
+    rows = [(i - 5, [float(x) for x in base[i]]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.95, dim=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(-5, -4)}
+
+
+def test_jaccard_null_text(spark):
+    # regression: the Arrow shingler must propagate NULL text like the
+    # Column path ([''] shingle) instead of raising AttributeError
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, None),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (3, 4) in got  # two null docs share the '' shingle

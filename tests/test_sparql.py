@@ -260,3 +260,31 @@ def test_write_nquads(spark, tmp_path):
     write_nquads(quads, out)
     lines = {r["value"] for r in spark.read.text(out).collect()}
     assert lines == {"<s1> <p> <o> <g1> .", '<s2> <p> "v" .'}
+
+
+def test_full_iri_in_where(triples):
+    # regression: dots inside <IRI> tokens must not split statements
+    out = sparql_select(
+        triples,
+        """SELECT ?n WHERE {
+            ?x <http://example.org/knows> ?y .
+            ?y <http://example.org/name> ?n .
+        }""",
+    )
+    assert rows(out) == {('"bob"',), ('"carol"',)}
+
+
+def test_optional_no_shared_vars_keeps_left(triples):
+    # OPTIONAL group sharing no variables with the required side: SPARQL
+    # leftjoin keeps every left solution even when the optional group
+    # matches zero rows (a crossJoin would return zero rows)
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n ?z WHERE {
+            ?x ex:name ?n .
+            OPTIONAL { ?w ex:nosuchpredicate ?z }
+        }""",
+    )
+    got = rows(out)
+    assert got == {('"alice"', None), ('"bob"', None), ('"carol"', None)}
