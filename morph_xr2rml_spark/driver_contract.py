@@ -1118,25 +1118,31 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posexplode the feature vector to (doc_id, bin, value_bp) rows: the
+    # driver's oracle canonicalizer hashes scalar cells only, so the
+    # array<long> shape of round 1 could never be compared
     docs = _load(spark, sf_dir, "documents")
     mm = multimodal.attach_fake_payload(docs)
     feats = multimodal.extract_features(mm, fake=True)
     return feats.select(
         "doc_id",
-        F.transform(
-            "features",
-            lambda x: F.floor(x.cast("double") * F.lit(10000.0)).cast("long"),
-        ).alias("feature_bp"),
+        F.posexplode(
+            F.transform(
+                "features",
+                lambda x: F.floor(x.cast("double") * F.lit(10000.0)).cast("long"),
+            )
+        ).alias("bin", "value_bp"),
         "n_bytes",
-    )
+    ).withColumn("bin", F.col("bin").cast("long"))
 
 
 def _sql_multimodal() -> str:
-    bins = ", ".join(
+    # numpy computes hist/total in float64, casts to float32, Spark
+    # re-widens to double; the REAL round-trip below reproduces that
+    value = (
         "CAST(floor(CAST(CAST("
-        f"CAST(len([y FOR y IN bytes IF y >= {b * 16} AND y < {b * 16 + 16}]) AS DOUBLE)"
+        "CAST(len([y FOR y IN bytes IF y >= i * 16 AND y < i * 16 + 16]) AS DOUBLE)"
         " / greatest(len(bytes), 1) AS REAL) AS DOUBLE) * 10000.0) AS BIGINT)"
-        for b in range(multimodal.FEATURE_DIM)
     )
     return f"""
 WITH b AS (
@@ -1145,7 +1151,8 @@ WITH b AS (
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents
 )
-SELECT doc_id, [{bins}] AS feature_bp, n_bytes FROM b
+SELECT doc_id, CAST(i AS BIGINT) AS bin, {value} AS value_bp, n_bytes
+FROM b, range(0, {multimodal.FEATURE_DIM}) t(i)
 """
 
 
