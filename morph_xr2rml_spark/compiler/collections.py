@@ -56,8 +56,44 @@ def _bnode_base() -> F.Column:
     )
 
 
+def with_bnode_base(grouped: DataFrame) -> DataFrame:
+    """Attach the content-derived blank-node base column ``b``.
+
+    ``b`` determines the expanded triples completely (every chain
+    subject is ``b_<pos>`` and the labeling already collides exactly
+    when (subj, pred, members) hash-collide), so structural dedup of
+    equal collections can shuffle this one narrow string instead of the
+    whole members array."""
+    return grouped.withColumn("b", _bnode_base())
+
+
+def dedup_collections(grouped: DataFrame) -> DataFrame:
+    """Structural dedup of equal collections on the same (subj, pred) —
+    the reference's compareRdfList semantics — by the 60-bit bnode base
+    (narrow-key shuffle, not an array-key shuffle)."""
+    return with_bnode_base(grouped).dropDuplicates(["b"])
+
+
 def expand_collections(grouped: DataFrame, collection_term_type: str) -> DataFrame:
     """Expand (subj, pred, members) rows into RDF list or container triples."""
+    head, tail = expand_collections_split(grouped, collection_term_type)
+    return head.unionByName(tail)
+
+
+def expand_collections_split(
+    grouped: DataFrame, collection_term_type: str
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`expand_collections` but returns (head, chain) parts.
+
+    ``head`` rows attach the collection to its (subj, pred) — they live
+    in the ordinary triple space and must join the global dedup.
+    ``chain`` rows (rdf:first/rest cells, container type + membership)
+    have blank-node subjects derived from the deduped ``b`` base, so
+    after :func:`dedup_collections` they are unique by construction and
+    can skip the global triple dedup — at scale that dedup shuffle of
+    the exploded chains dominates the whole query. (Assumes no other
+    term map forges ``_:c<digits>_<pos>`` labels.)
+    """
     if collection_term_type == terms.TERM_RDFLIST:
         return _expand_list(grouped)
     if collection_term_type in _CONTAINER_CLASS:
@@ -65,9 +101,14 @@ def expand_collections(grouped: DataFrame, collection_term_type: str) -> DataFra
     raise ValueError(f"not a collection term type: {collection_term_type}")
 
 
-def _expand_list(grouped: DataFrame) -> DataFrame:
-    base = grouped.where(F.size("members") > 0).select(
-        "subj", "pred", "members", _bnode_base().alias("b"), F.size("members").alias("n")
+def _with_base(grouped: DataFrame) -> DataFrame:
+    base = grouped if "b" in grouped.columns else with_bnode_base(grouped)
+    return base.where(F.size("members") > 0)
+
+
+def _expand_list(grouped: DataFrame) -> tuple[DataFrame, DataFrame]:
+    base = _with_base(grouped).select(
+        "subj", "pred", "members", "b", F.size("members").alias("n")
     )
     head = base.select(
         F.col("subj"), F.col("pred"), F.concat(F.col("b"), F.lit("_0")).alias("obj")
@@ -87,13 +128,13 @@ def _expand_list(grouped: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.col("b"), F.lit("_"), F.col("pos") + 1))
         .alias("obj"),
     )
-    return head.unionByName(firsts).unionByName(rests)
+    return head, firsts.unionByName(rests)
 
 
-def _expand_container(grouped: DataFrame, container_class: str) -> DataFrame:
-    base = grouped.where(F.size("members") > 0).select(
-        "subj", "pred", "members", _bnode_base().alias("b")
-    )
+def _expand_container(
+    grouped: DataFrame, container_class: str
+) -> tuple[DataFrame, DataFrame]:
+    base = _with_base(grouped).select("subj", "pred", "members", "b")
     head = base.select(
         F.col("subj"), F.col("pred"), F.col("b").alias("obj")
     )
@@ -108,4 +149,4 @@ def _expand_container(grouped: DataFrame, container_class: str) -> DataFrame:
         F.format_string("<%s_%d>", F.lit(terms.RDF_NS), F.col("pos") + 1).alias("pred"),
         F.col("member").alias("obj"),
     )
-    return head.unionByName(typ).unionByName(items)
+    return head, typ.unionByName(items)

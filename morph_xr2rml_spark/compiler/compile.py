@@ -57,7 +57,7 @@ from ..mapping.model import (
 )
 from ..sources.catalog import SourceCatalog
 from . import udfs
-from .collections import expand_collections
+from .collections import dedup_collections, expand_collections_split
 
 TRIPLE_SCHEMA = T.StructType(
     [
@@ -129,31 +129,60 @@ class MappingCompiler:
     def triples(self) -> DataFrame:
         """Union of all triples maps (translateData_Materialization
         :49-65 analogue), deduplicated. Graph maps, if any, are
-        projected away (the N-Triples view of the quad output)."""
-        dfs = [self.triples_for(name) for name in self.doc.triples_maps]
-        dfs = [d for d in dfs if d is not None]
-        if not dfs:
-            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
-        out = functools.reduce(DataFrame.unionByName, dfs)
-        if self.options.dedup:
-            out = out.dropDuplicates(["subj", "pred", "obj"])
-        return out
+        projected away (the N-Triples view of the quad output).
+
+        Collection chain triples (rdf:first/rest cells) skip the global
+        dedup: their blank-node subjects derive from the already-deduped
+        collection base, so they are unique by construction and the
+        exploded chain set — the bulk of a list-heavy output — never
+        pays the wide dedup shuffle."""
+        return self._assemble(["subj", "pred", "obj"], TRIPLE_SCHEMA)
 
     def quads(self) -> DataFrame:
         """(subj, pred, obj, graph) union across triples maps; graph is
         NULL for the default graph (N-Quads view, S7/S8 with named
         graphs)."""
-        dfs = [self.quads_for(name) for name in self.doc.triples_maps]
-        dfs = [d for d in dfs if d is not None]
-        if not dfs:
-            return self.spark.createDataFrame([], QUAD_SCHEMA)
-        out = functools.reduce(DataFrame.unionByName, dfs)
-        if self.options.dedup:
-            out = out.dropDuplicates(["subj", "pred", "obj", "graph"])
+        return self._assemble(["subj", "pred", "obj", "graph"], QUAD_SCHEMA)
+
+    def _assemble(self, cols: list[str], schema: T.StructType) -> DataFrame:
+        plain: list[DataFrame] = []
+        chains: list[DataFrame] = []
+        for name in self.doc.triples_maps:
+            p, c = self._quad_branches(name)
+            plain.extend(p)
+            chains.extend(c)
+        plain = [d.select(*cols) for d in plain]
+        chains = [d.select(*cols) for d in chains]
+        if not plain and not chains:
+            return self.spark.createDataFrame([], schema)
+        out = functools.reduce(DataFrame.unionByName, plain) if plain else None
+        if out is not None and self.options.dedup:
+            out = out.dropDuplicates(cols)
+        if chains:
+            ch = functools.reduce(DataFrame.unionByName, chains)
+            if len(chains) > 1 and self.options.dedup:
+                # several collection branches could emit structurally
+                # identical chains; dedup them among themselves (still
+                # never against the main pool)
+                ch = ch.dropDuplicates(cols)
+            out = out.unionByName(ch) if out is not None else ch
         return out
 
     def quads_for(self, tm_name: str) -> DataFrame:
         """(subj, pred, obj, graph) for one triples map; graph is NULL
+        for the default graph (no dedup — use triples()/quads() for the
+        set-semantic views)."""
+        plain, chains = self._quad_branches(tm_name)
+        branches = plain + chains
+        if not branches:
+            return None
+        return functools.reduce(DataFrame.unionByName, branches)
+
+    def _quad_branches(
+        self, tm_name: str
+    ) -> tuple[list[DataFrame], list[DataFrame]]:
+        """(plain branches, unique-by-construction chain branches) of
+        (subj, pred, obj, graph) rows for one triples map; graph is NULL
         for the default graph. Named-graph semantics follow
         materializeQuads' S x P x (O u RO) x G (MorphBaseMaterializer
         .scala:159-200): POM triples go into subjectMap graphs u POM
@@ -249,16 +278,32 @@ class MappingCompiler:
                     for pe in pred_exprs:
                         pair_arrays.append(with_graphs(self._pairs(pe, obj), graphs))
 
+        chain_branches: list[DataFrame] = []
+
+        def add_collection(head: DataFrame, chain: DataFrame, graphs):
+            branches.extend(_cross_constant_graphs(head, graphs))
+            crossed = _cross_constant_graphs(chain, graphs)
+            if len(crossed) == 1:
+                chain_branches.extend(crossed)
+            else:
+                # the same chain in several named graphs is no longer
+                # unique once triples() projects the graph away — keep
+                # it in the dedup pool
+                branches.extend(crossed)
+
         for pe, obj, coll_tt, const_graphs in collection_jobs:
-            cb = self._collection_branch(base, pe, obj, coll_tt)
-            branches.extend(_cross_constant_graphs(cb, const_graphs))
+            head, chain = self._collection_branch(base, pe, obj, coll_tt)
+            add_collection(head, chain, const_graphs)
         for pom in tm.predicate_object_maps:
             if not pom.ref_object_maps:
                 continue
             const_graphs = self._constant_graph_terms(tm.subject_map, pom)
             for rom in pom.ref_object_maps:
-                for rb in self._ref_object_branches(tm, base, pom, rom):
+                plains, colls = self._ref_object_branches(tm, base, pom, rom)
+                for rb in plains:
                     branches.extend(_cross_constant_graphs(rb, const_graphs))
+                for head, chain in colls:
+                    add_collection(head, chain, const_graphs)
 
         if pair_arrays:
             combined = (
@@ -277,9 +322,7 @@ class MappingCompiler:
             )
             branches.insert(0, main)
 
-        if not branches:
-            return None
-        return functools.reduce(DataFrame.unionByName, branches)
+        return branches, chain_branches
 
     def triples_for(self, tm_name: str) -> DataFrame:
         q = self.quads_for(tm_name)
@@ -493,9 +536,10 @@ class MappingCompiler:
 
     def _collection_branch(
         self, base: DataFrame, pred: _TermExpr, obj: _TermExpr, coll_tt: str
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, DataFrame]:
         """Object map with an RDF collection/container term type (P9):
-        the member array becomes one collection object per row."""
+        the member array becomes one collection object per row.
+        Returns (head triples, chain triples)."""
         if pred.is_array:
             pred_col = F.explode(pred.col)
         else:
@@ -509,9 +553,10 @@ class MappingCompiler:
             .where(F.col("pred").isNotNull() & (F.size("members") > 0))
         )
         if self.options.dedup:
-            # structural dedup of equal collections on (subj, pred) — S8
-            grouped = grouped.dropDuplicates(["subj", "pred", "members"])
-        return expand_collections(grouped, coll_tt)
+            # structural dedup of equal collections on (subj, pred) — S8;
+            # keyed on the 60-bit bnode base, not the members array
+            grouped = dedup_collections(grouped)
+        return expand_collections_split(grouped, coll_tt)
 
     # ------------------------------------------------------------------
     # RefObjectMap joins (J1-J5)
@@ -539,7 +584,8 @@ class MappingCompiler:
 
         rom_df = self._rom_pairs(tm, base, parent_tm, rom)  # (__row_id, __subj, __psubj)
 
-        branches = []
+        branches: list[DataFrame] = []
+        collections: list[tuple[DataFrame, DataFrame]] = []
         coll_tt = rom.collection_term_type()
         for pred_term in pred_terms:
             if coll_tt:
@@ -557,8 +603,8 @@ class MappingCompiler:
                     )
                 )
                 if self.options.dedup:
-                    grouped = grouped.dropDuplicates(["subj", "pred", "members"])
-                branches.append(expand_collections(grouped, coll_tt))
+                    grouped = dedup_collections(grouped)
+                collections.append(expand_collections_split(grouped, coll_tt))
             else:
                 branches.append(
                     rom_df.select(
@@ -567,7 +613,7 @@ class MappingCompiler:
                         F.col("__psubj").alias("obj"),
                     )
                 )
-        return branches
+        return branches, collections
 
     def _parent_side(self, parent_tm: TriplesMap) -> tuple[DataFrame, str | None]:
         pdf, pdoc = self._resolved_base(parent_tm)

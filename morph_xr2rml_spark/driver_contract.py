@@ -274,6 +274,52 @@ def q_xr2rml_rdf_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MappingCompiler(spark, parse_mapping(LINEITEM_LIST_TTL), catalog).triples()
 
 
+# The rdf:first/rest chain blank nodes are content-derived
+# (compiler/collections.py _bnode_base: '_:c' + dec(md5(subj NUL pred NUL
+# to_json(members))[:15])), so the whole list expansion is reproducible
+# in SQL: rebuild the sorted-distinct member lists per order, hash them
+# the same way, and unnest positions.
+_RDF_FIRST = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+_RDF_REST = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+_RDF_NIL = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+
+SQL_XR2RML_RDF_LIST = f"""
+WITH li AS (
+    SELECT '<{EX}line/' || l_orderkey || '/' || l_linenumber || '>' AS s,
+           l_orderkey, l_returnflag
+    FROM lineitem
+),
+grp AS (
+    SELECT '<{EX}order/' || o.o_orderkey || '>' AS subj,
+           '<{ONT}lines>' AS pred,
+           list_sort(list_distinct(list(li.s))) AS members
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY o.o_orderkey
+),
+b AS (
+    SELECT subj, pred, members, len(members) AS n,
+           '_:c' || CAST(('0x' || substr(md5(subj || chr(0) || pred || chr(0)
+               || '["' || array_to_string(members, '","') || '"]'), 1, 15))::BIGINT
+               AS VARCHAR) AS bb
+    FROM grp
+),
+cells AS (
+    SELECT bb, n, unnest(members) AS member, unnest(range(0, n)) AS pos FROM b
+)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s AS subj, '<{ONT}flag>' AS pred, '"' || l_returnflag || '"' AS obj FROM li
+    UNION ALL
+    SELECT subj, pred, bb || '_0' FROM b
+    UNION ALL
+    SELECT bb || '_' || pos, '{_RDF_FIRST}', member FROM cells
+    UNION ALL
+    SELECT bb || '_' || pos, '{_RDF_REST}',
+           CASE WHEN pos = n - 1 THEN '{_RDF_NIL}' ELSE bb || '_' || (pos + 1) END
+    FROM cells
+) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Aggregation (A1/A2/A3): TPC-H Q1-shaped pricing summary.
 #    Money/quantity summed as per-row floor-cents bigints: exact in both
@@ -1313,7 +1359,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "xr2rml_nation_tm": (q_xr2rml_nation, SQL_XR2RML_NATION),
     "xr2rml_refobjectmap_join": (q_xr2rml_refobjectmap, SQL_XR2RML_REFOBJECTMAP),
     "xr2rml_mixed_syntax_path": (q_xr2rml_mixed_path, SQL_XR2RML_MIXED_PATH),
-    "xr2rml_rdf_list": (q_xr2rml_rdf_list, None),
+    "xr2rml_rdf_list": (q_xr2rml_rdf_list, SQL_XR2RML_RDF_LIST),
     "xr2rml_lang_datatype_bnode": (
         q_xr2rml_lang_datatype_bnode,
         SQL_XR2RML_LANG_DT_BNODE,
