@@ -116,6 +116,7 @@ class MappingCompiler:
         self.catalog = catalog
         self.options = options or CompileOptions()
         self._source_cache: dict[str, tuple[DataFrame, str | None]] = {}
+        self._persisted: list[DataFrame] = []
         # ship the package to executor Python workers so pandas-UDF
         # closures can be unpickled (spark-submit --py-files equivalent)
         from ..plans.session import attach_package
@@ -618,8 +619,18 @@ class MappingCompiler:
     def _parent_side(self, parent_tm: TriplesMap) -> tuple[DataFrame, str | None]:
         pdf, pdoc = self._resolved_base(parent_tm)
         if self.options.cache_parents:
-            pdf = pdf.persist()
+            from ..plans.caching import cache
+
+            pdf = cache(pdf)
+            self._persisted.append(pdf)
         return pdf, pdoc
+
+    def release(self) -> None:
+        """Unpersist parent-side scans cached by this compiler (S6).
+        Call after the consuming action; plans built from this compiler
+        recompute those scans afterwards."""
+        while self._persisted:
+            self._persisted.pop().unpersist()
 
     def _rom_pairs(
         self, tm: TriplesMap, base: DataFrame, parent_tm: TriplesMap, rom: RefObjectMap

@@ -37,6 +37,7 @@ from .ops import text as text_ops
 from .ops.hashing import md5_long_seeded_sql, md5_long_sql
 from .functions.encoding import _ENCODE_URL_PAIRS
 from .pipeline import canonicalize, extract, mentions, pages
+from .plans import caching
 from .pipeline.pages import WARC_EPOCH
 from .pipeline.run import emit_triples
 from .sources import SourceCatalog
@@ -1214,8 +1215,14 @@ SQL_MULTIMODAL_FEATURES = _sql_multimodal()
 
 
 def _kg_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persisted: sparql_select branches the triple table once per triple
+    # pattern; without a materialization barrier the whole pages ->
+    # extract -> mentions -> emit pipeline (pandas-UDF stages included)
+    # re-runs N times per query (observed 2x the full-pipeline cost for
+    # a 2-pattern BGP). Released by the queries() wrapper on the next
+    # contract query.
     _, p, m, ents = _mention_frames(spark, sf_dir)
-    return emit_triples(spark, p, m, ents)
+    return caching.cache(emit_triples(spark, p, m, ents))
 
 
 SPARQL_BGP_JOIN = """
@@ -1401,7 +1408,20 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    """Registry callables, each releasing the previous query's
+    registered caches on entry (the driver runs build -> collect ->
+    next build strictly in sequence, so whatever is still registered
+    belongs to an already-collected query)."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            caching.release_caches()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -166,8 +166,13 @@ def ngram_jaccard_pairs(
     times (both join sides + the df-cap aggregate) and the shingle
     window expressions are interpreter-evaluated higher-order
     functions — recomputing them dominates the whole query otherwise.
+    The persist is registered with plans.caching so a later
+    release_caches() frees the executor blocks (persisting here and
+    never releasing is an executor-memory leak in long sessions).
     """
-    sh = doc_shingles(df, text_col, id_col, k).persist()
+    from ..plans.caching import cache
+
+    sh = cache(doc_shingles(df, text_col, id_col, k))
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")

@@ -66,6 +66,9 @@ class SourceCatalog:
             return self.tables[name]
         return self.spark.table(name)
 
+    _MAX_SPLIT_BYTES = 128 << 20  # scan split granularity estimate
+    _SMALL_SOURCE_BYTES = 2 << 30  # only reshuffle sources below this
+
     def _normalize_width(self, df: DataFrame) -> DataFrame:
         """Widen under-parallelized scans to the session's parallelism.
 
@@ -76,11 +79,40 @@ class SourceCatalog:
         then runs nearly serial. One cheap shuffle of the raw source
         fixes the whole pipeline's width. Term values and row ids are
         content-derived, so results are partitioning-independent.
+
+        The decision is made from input-file count and byte size (no
+        ``df.rdd`` — that forces plan-to-RDD conversion at compile
+        time), and a big source is never reshuffled: its scan is
+        already wide, and an unconditional repartition would be a full
+        shuffle of the raw table.
         """
         target = self.spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() * 2 < target:
+        try:
+            files = df.inputFiles()
+        except Exception:  # noqa: BLE001 — non-file-backed plan
+            return df
+        if not files or len(files) * 2 >= target:
+            return df
+        total = self._input_bytes(files)
+        if total >= self._SMALL_SOURCE_BYTES:
+            return df
+        est_splits = max(len(files), -(-total // self._MAX_SPLIT_BYTES))
+        if est_splits * 2 < target:
             return df.repartition(target)
         return df
+
+    def _input_bytes(self, files: list[str]) -> int:
+        try:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            total = 0
+            for f in files:
+                path = jvm.org.apache.hadoop.fs.Path(f)
+                fs = path.getFileSystem(conf)
+                total += fs.getFileStatus(path).getLen()
+            return total
+        except Exception:  # noqa: BLE001 — treat unknown size as big
+            return self._SMALL_SOURCE_BYTES
 
     def resolve(self, ls: LogicalSource) -> tuple[DataFrame, str | None]:
         """Return (DataFrame, doc_column) for a logical source.
