@@ -418,10 +418,41 @@ def unrolled_dot(a: Column, b: Column, dim: int) -> Column:
 
 
 def normalize_vec(vec: Column, dim: int) -> Column:
-    """vec / ||vec|| as array<double>; computing norms once per vector
-    turns the 3-fold cosine into a single fold per pair."""
+    """vec / ||vec|| as array<double>.
+
+    WARNING: the norm expression is embedded in the transform lambda,
+    so Catalyst re-evaluates the full dim-term norm PER ELEMENT
+    (quadratic per row, interpreted). For pairwise scoring use
+    :func:`vec_norm` + :func:`unrolled_normalized_dot`, which
+    materialize the norm once per row and stay inside codegen."""
     nrm = F.sqrt(unrolled_dot(vec, vec, dim))
     return F.transform(vec, lambda x: x.cast("double") / nrm)
+
+
+def vec_norm(vec: Column, dim: int) -> Column:
+    """||vec|| as a flat codegen'd expression (left-associative sum,
+    bit-identical to the DuckDB list_reduce fold)."""
+    return F.sqrt(unrolled_dot(vec, vec, dim))
+
+
+def unrolled_normalized_dot(
+    a: Column, b: Column, na: Column, nb: Column, dim: int
+) -> Column:
+    """sum_i (a[i]/na) * (b[i]/nb), left-associative and codegen'd.
+
+    Dividing each element before multiplying reproduces the
+    normalize-then-fold oracle bit-for-bit ((a[i]/na)*(b[i]/nb) is the
+    very same IEEE op sequence as u_a[i]*u_b[i] over pre-normalized
+    arrays). ``na``/``nb`` must be *materialized columns* (aliased in a
+    previous projection): they are referenced dim times here, which is
+    exactly what stops CollapseProject from inlining the norm
+    computation back into every term.
+    """
+    prods = [
+        (a.getItem(i).cast("double") / na) * (b.getItem(i).cast("double") / nb)
+        for i in range(dim)
+    ]
+    return functools.reduce(operator.add, prods)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -436,69 +467,245 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     dim: int | None = None,
+    blocks: int | None = None,
+    method: str = "gemm",
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold, by brute pairwise
-    comparison (exact; quadratic — the oracle/verification path).
+    """Pairs with cosine similarity >= threshold. Exact by default.
 
-    For web-scale corpora use similarity.lsh_ann_topk's hyperplane
-    buckets for candidate generation and verify candidates with this
-    cosine; here the full pairwise form doubles as the correctness
-    oracle for that path.
+    ``method``:
 
-    When ``dim`` is given, vectors are pre-normalized once and the
-    per-pair score is a single unrolled dot product, and the pair space
-    is enumerated by a **block-partitioned equi-join**: ids hash into
-    ``blocks`` buckets, the (upper-triangle) bucket-pair table is
-    broadcast, and both sides equi-join on bucket id. This matters
-    twice: (a) the theta-join (id_a < id_b) form puts the scoring
-    expression inside a BroadcastNestedLoopJoin *condition*, which
-    Spark evaluates interpreted (observed ~40x slower than codegen);
-    the equi-join form keeps scoring in a codegen'd post-join filter;
-    (b) on a cluster the bucket pairs distribute the quadratic work
-    across ``blocks*(blocks+1)/2`` independent tasks instead of one
-    broadcast loop.
+    * ``'gemm'`` (default) — exact two-phase plan. Phase 1 enumerates
+      candidates by **distributed block matrix multiplication**: rows
+      hash into B blocks, the upper-triangle block pairs are cogrouped
+      (applyInPandas), and each task runs one float64 BLAS GEMM with a
+      3-basis-point slack under the threshold. Phase 2 re-scores the
+      (few) candidates with the bit-reproducible left-fold cosine and
+      applies the exact threshold — so results are independent of BLAS
+      accumulation order and match the DuckDB oracle exactly. Exact
+      all-pairs similarity IS O(n^2); at scale the right engineering is
+      this block-matmul shape — shuffle O(n * B) vector copies, compute
+      (n/B)^2 GEMM flops per task spread over B(B+1)/2 independent
+      tasks, BLAS constant ~100x below per-pair expression eval. B
+      defaults to ~sqrt(8 * parallelism) so per-task work shrinks as
+      the cluster grows.
+
+    * ``'lsh'`` — approximate at low thresholds, effectively exact at
+      high ones: hyperplane-bucket candidate generation
+      (similarity.lsh_buckets self-join) + the same exact re-score.
+      Sub-quadratic, the web-scale path for threshold >= ~0.8 where a
+      random-hyperplane table has high collision probability for true
+      pairs (p_table = (1 - theta/pi)^bits). At threshold 0.4
+      (theta/pi ~ 0.37) NO hyperplane scheme reaches recall 1.0 with
+      sub-quadratic candidates — use 'gemm' there.
+
+    * ``'expr'`` — the block-partitioned codegen equi-join form
+      (requires ``dim``); kept as an independent cross-check of the
+      gemm path (no Python workers, pure whole-stage codegen).
+
+    The re-score normalizes once and folds left-to-right (unrolled when
+    ``dim`` is given — codegen'd; interpreted HOF otherwise), matching
+    the DuckDB ``list_reduce`` fold bit-for-bit.
     """
-    if dim is not None:
-        blocks = 16
-        n = df.select(
-            F.col(id_col),
-            normalize_vec(F.col(vec_col), dim).alias("nv"),
-            # pmod, not %: Spark's % keeps the dividend's sign, so
-            # negative ids would land in [-blocks+1, 0) and silently
-            # match no bucket_pairs row
-            F.pmod(F.col(id_col), F.lit(blocks)).cast("int").alias("blk"),
-        )
-        # full product (not upper triangle): bucket order does not follow
-        # id order, the id_a < id_b filter already keeps each pair once
-        bucket_pairs = df.sparkSession.createDataFrame(
-            [(i, j) for i in range(blocks) for j in range(blocks)],
-            "bi int, bj int",
-        )
-        a = n.select(
-            F.col(id_col).alias("id_a"), F.col("nv").alias("va"),
-            F.col("blk").alias("blk_a"),
-        )
-        b = n.select(
-            F.col(id_col).alias("id_b"), F.col("nv").alias("vb"),
-            F.col("blk").alias("blk_b"),
-        )
-        cand = (
-            a.join(F.broadcast(bucket_pairs), F.col("blk_a") == F.col("bi"))
-            .join(b, F.col("blk_b") == F.col("bj"))
-            .where(F.col("id_a") < F.col("id_b"))
-        )
-        sim = unrolled_dot(F.col("va"), F.col("vb"), dim)
-        return (
-            cand.withColumn("cos_bp", F.floor(sim * F.lit(10000.0)).cast("long"))
-            .where(F.col("cos_bp") >= F.lit(int(threshold * 10000)))
-            .select("id_a", "id_b", "cos_bp")
-        )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    if method == "expr":
+        if dim is None:
+            raise ValueError("method='expr' requires dim")
+        return _expr_neardup_pairs(df, vec_col, id_col, threshold, dim)
+    if method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        cand = _lsh_candidates(df, vec_col, id_col, dim)
+    elif method == "gemm":
+        cand = _gemm_candidates(df, vec_col, id_col, threshold, blocks)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return _exact_rescore(df, cand, vec_col, id_col, threshold, dim)
+
+
+_CAND_SLACK_BP = 3  # candidate threshold slack (bp) absorbing BLAS-vs-fold ulps
+
+
+def _gemm_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    blocks: int | None,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs via block matrix multiplication."""
+    spark = df.sparkSession
+    if blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        blocks = max(4, int((8 * par) ** 0.5))
+    nb = blocks
+    cand_min = (int(threshold * 10000) - _CAND_SLACK_BP) / 10000.0
+
+    # block assignment only places work — results are exact either way —
+    # so an engine-native hash is fine here
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                     blk.alias("__blk"))
+    # row in block p: left side of pairs (p, j>=p), right side of (i<=p, p)
+    left = base.select(
+        "__id", "__v",
+        F.explode(F.sequence(F.col("__blk"), F.lit(nb - 1))).alias("__j"),
+        F.col("__blk").alias("__i"),
+    ).select("__id", "__v", (F.col("__i") * nb + F.col("__j")).alias("__pid"))
+    right = base.select(
+        "__id", "__v",
+        F.explode(F.sequence(F.lit(0), F.col("__blk"))).alias("__i"),
+        F.col("__blk").alias("__j"),
+    ).select("__id", "__v", (F.col("__i") * nb + F.col("__j")).alias("__pid"))
+
+    out_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    )
+
+    def score_block(key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if l.empty or r.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        pid = int(key[0])
+        diagonal = (pid // nb) == (pid % nb)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in l["__v"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in r["__v"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+        S = A @ B.T
+        ia, ib = np.where(S >= cand_min)
+        id_l = l["__id"].values[ia].astype("int64")
+        id_r = r["__id"].values[ib].astype("int64")
+        if diagonal:
+            keep = id_l < id_r  # each unordered pair appears twice
+            lo, hi = id_l[keep], id_r[keep]
+        else:
+            keep = id_l != id_r
+            lo = np.minimum(id_l[keep], id_r[keep])
+            hi = np.maximum(id_l[keep], id_r[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_bp", F.floor(sim * F.lit(10000.0)).cast("long"))
+        left.groupBy("__pid")
+        .cogroup(right.groupBy("__pid"))
+        .applyInPandas(score_block, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _lsh_candidates(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    tables: int = 8,
+    bits: int = 8,
+) -> DataFrame:
+    """(id_a, id_b) candidates from hyperplane sign-bucket collisions."""
+    from .similarity import lsh_buckets
+
+    b = lsh_buckets(df, vec_col, id_col, tables, bits, dim).select(
+        F.col(id_col).alias("__id"), "bucket"
+    )
+    a = b.select(F.col("__id").alias("id_a"), "bucket")
+    c = b.select(F.col("__id").alias("id_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _exact_rescore(
+    df: DataFrame,
+    cand: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    dim: int | None,
+) -> DataFrame:
+    """Candidates -> exact (id_a, id_b, cos_bp) via the reproducible
+    left-fold cosine; the candidate set is small, so both vector
+    lookups are broadcast joins against the corpus. The candidate set
+    is persisted (registered for release): it feeds two broadcast
+    exchanges, which would otherwise re-run candidate generation."""
+    from ..plans.caching import cache
+
+    cand = cache(cand)
+    # normalization happens in the pre-join projection: aliased array
+    # columns are NOT collapsed into the 2*dim getItem references of the
+    # scoring expression (CollapseProject keeps multi-referenced
+    # non-cheap aliases), whereas inlining normalize_vec inside
+    # unrolled_dot re-evaluates the whole transform per element
+    if dim is not None:
+        nrm = vec_norm(F.col(vec_col), dim)
+        e_a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            nrm.alias("__na"),
+        )
+        e_b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            nrm.alias("__nb"),
+        )
+        sim = unrolled_normalized_dot(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim
+        )
+    else:
+        e_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        e_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        sim = cosine(F.col("__va"), F.col("__vb"))
+    withv = e_a.join(F.broadcast(cand), "id_a")
+    withv = e_b.join(F.broadcast(withv), "id_b")
+    return (
+        withv.withColumn("cos_bp", F.floor(sim * F.lit(10000.0)).cast("long"))
+        .where(F.col("cos_bp") >= F.lit(int(threshold * 10000)))
+        .select("id_a", "id_b", "cos_bp")
+    )
+
+
+def _expr_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, dim: int
+) -> DataFrame:
+    """Exact pairs via block-partitioned equi-join with the scoring
+    expression in a codegen'd post-join filter (never a theta-join
+    condition, which Spark evaluates interpreted)."""
+    blocks = 16
+    n = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("nv"),
+        vec_norm(F.col(vec_col), dim).alias("nrm"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so
+        # negative ids would land in [-blocks+1, 0) and silently
+        # match no bucket_pairs row
+        F.pmod(F.col(id_col), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    # full product (not upper triangle): bucket order does not follow
+    # id order, the id_a < id_b filter already keeps each pair once
+    bucket_pairs = df.sparkSession.createDataFrame(
+        [(i, j) for i in range(blocks) for j in range(blocks)],
+        "bi int, bj int",
+    )
+    a = n.select(
+        F.col(id_col).alias("id_a"), F.col("nv").alias("va"),
+        F.col("nrm").alias("na"), F.col("blk").alias("blk_a"),
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"), F.col("nv").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("blk").alias("blk_b"),
+    )
+    cand = (
+        a.join(F.broadcast(bucket_pairs), F.col("blk_a") == F.col("bi"))
+        .join(b, F.col("blk_b") == F.col("bj"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    sim = unrolled_normalized_dot(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim
+    )
+    return (
+        cand.withColumn("cos_bp", F.floor(sim * F.lit(10000.0)).cast("long"))
         .where(F.col("cos_bp") >= F.lit(int(threshold * 10000)))
         .select("id_a", "id_b", "cos_bp")
     )

@@ -180,3 +180,57 @@ def test_jaccard_null_text(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got
     assert (3, 4) in got  # two null docs share the '' shingle
+
+
+def test_neardup_gemm_matches_expr_and_numpy(spark):
+    # the GEMM candidate path must agree exactly with the independent
+    # codegen equi-join path AND a numpy brute-force at the contract
+    # threshold (0.4) on the real embeddings table
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cos_bp"]
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.4, dim=64, method="gemm"
+        ).collect()
+    }
+    expr = {
+        (r["id_a"], r["id_b"]): r["cos_bp"]
+        for r in dedup.embedding_neardup_pairs(
+            emb, threshold=0.4, dim=64, method="expr"
+        ).collect()
+    }
+    assert gemm == expr and len(gemm) > 0
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            cos = np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if np.floor(cos * 10000) >= 4000 - 1:  # 1bp tolerance band
+                brute.add((a, b))
+    # every found pair is near-threshold-or-above in numpy terms, and
+    # no clearly-above-threshold pair is missed
+    assert set(gemm) <= brute
+    strict = {p for p in brute
+              if np.floor(np.dot(vecs[p[0]], vecs[p[1]])
+                          / (np.linalg.norm(vecs[p[0]]) * np.linalg.norm(vecs[p[1]]))
+                          * 10000) >= 4001}
+    assert strict <= set(gemm)
+
+
+def test_neardup_lsh_high_threshold(spark):
+    # at high thresholds the hyperplane-bucket path is the scale
+    # answer; on the tiny planted set it must find the 0.99-cos pair
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype(np.float32)
+    base[1] = base[0] + 0.02 * rng.randn(16).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(
+        emb, threshold=0.9, dim=16, method="gemm").collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.embedding_neardup_pairs(
+        emb, threshold=0.9, dim=16, method="lsh").collect()}
+    assert (0, 1) in exact
+    assert lsh == exact  # recall 1.0 at this threshold
