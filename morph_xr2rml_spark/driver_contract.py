@@ -771,17 +771,76 @@ FROM ranked WHERE rank <= {_TOPK_K}
 
 
 # ---------------------------------------------------------------------------
-# 17. Similarity search: LSH ANN (approximate — rows-only driver check; its
-#     recall vs the exact path is asserted in tests/test_ops.py)
+# 17. Similarity search: LSH ANN. The hyperplanes are deterministic
+#     md5-seeded floats (similarity._hyperplane), so the oracle inlines
+#     them as literals and reproduces buckets + exact re-rank in SQL —
+#     the approximate path is still hash-checked bit-for-bit.
 # ---------------------------------------------------------------------------
+
+_LSH_TABLES, _LSH_BITS, _LSH_DIM = 8, 4, 64
 
 
 def q_sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _TOPK_NQ)
-    return similarity.lsh_ann_topk(
-        emb, queries, k=_TOPK_K, tables=8, bits=4, dim=64
+    df = similarity.lsh_ann_topk(
+        emb, queries, k=_TOPK_K, tables=_LSH_TABLES, bits=_LSH_BITS, dim=_LSH_DIM
     )
+    return df.select(
+        "query_id", "neighbor_id", "cos_bp", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_lsh_ann() -> str:
+    hp_rows = ",\n        ".join(
+        f"({t}, {b}, [{', '.join(repr(x) for x in similarity._hyperplane(t, b, _LSH_DIM))}])"
+        for t in range(_LSH_TABLES)
+        for b in range(_LSH_BITS)
+    )
+    # per-table bucket string == Spark concat_ws(':', table, bit0..bitN);
+    # the dot is a left fold of v[i]*h[i], == F.aggregate's 0.0-seeded fold
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+hp(tbl, bit, h) AS (VALUES
+        {hp_rows}),
+bits AS (
+    SELECT e.vec_id, hp.tbl, hp.bit,
+           CASE WHEN list_reduce([e.v[i] * hp.h[i] FOR i IN range(1, {_LSH_DIM} + 1)],
+                                 (a, x) -> a + x) > 0
+                THEN '1' ELSE '0' END AS bt
+    FROM e, hp
+),
+bkt AS (
+    SELECT vec_id, CAST(tbl AS VARCHAR) || ':' || string_agg(bt, ':' ORDER BY bit) AS bucket
+    FROM bits GROUP BY vec_id, tbl
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM (SELECT * FROM bkt WHERE vec_id < {_TOPK_NQ}) q
+    JOIN bkt c ON q.bucket = c.bucket
+    WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(floor({_sql_dot('qe.v', 'ce.v')}
+                      / sqrt({_sql_dot('qe.v', 'qe.v')} * {_sql_dot('ce.v', 'ce.v')})
+                      * 10000.0) AS BIGINT) AS cos_bp
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_bp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_bp DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_bp, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+SQL_SIM_LSH_ANN_TOPK = _sql_lsh_ann()
 
 
 # ---------------------------------------------------------------------------
@@ -1389,7 +1448,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_DEDUP_EMBEDDING_NEARDUP,
     ),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
-    "sim_lsh_ann_topk": (q_sim_lsh_ann_topk, None),
+    "sim_lsh_ann_topk": (q_sim_lsh_ann_topk, SQL_SIM_LSH_ANN_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "kg_pages": (q_kg_pages, SQL_KG_PAGES),
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
