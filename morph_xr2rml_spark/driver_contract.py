@@ -1387,6 +1387,53 @@ GROUP BY obj
 """
 
 
+# FILTER breadth: IN + xsd cast + arithmetic (the reference's E_OneOf /
+# transFunction set, MorphRDBQueryTranslator.scala:988-1187)
+
+ORDERS_FILTER_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMOrderF>
+    xrr:logicalSource [ rr:tableName "orders"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/order/{o_orderkey}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:status;
+        rr:objectMap [ rr:column "o_orderstatus" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:custkey;
+        rr:objectMap [ rr:column "o_custkey" ];
+    ];
+    .
+"""
+
+SPARQL_IN_CAST = """
+PREFIX ex: <http://example.org/ontology#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?ord ?ck WHERE {
+    ?ord ex:status ?st .
+    ?ord ex:custkey ?ck .
+    FILTER (?st IN ("O", "F") && xsd:integer(?ck) * 2 + 5 >= 205)
+}
+"""
+
+
+def q_sparql_in_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = SourceCatalog(spark).register("orders", _load(spark, sf_dir, "orders"))
+    trip = MappingCompiler(spark, parse_mapping(ORDERS_FILTER_TTL), catalog).triples()
+    return sparql_select(trip, SPARQL_IN_CAST)
+
+
+SQL_SPARQL_IN_CAST = f"""
+SELECT DISTINCT '<{EX}order/' || o_orderkey || '>' AS ord,
+       '"' || o_custkey || '"^^<{XSD_INT}>' AS ck
+FROM orders
+WHERE o_orderstatus IN ('O', 'F') AND o_custkey * 2 + 5 >= 205
+"""
+
+
 SPARQL_CONSTRUCT_INVERSE = """
 PREFIX ex: <http://example.org/ontology#>
 CONSTRUCT { ?cust ex:hasOrder ?ord . ?cust a ex:Buyer }
@@ -1461,6 +1508,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_bgp_join": (q_sparql_bgp_join, SQL_SPARQL_BGP_JOIN),
     "sparql_optional_filter": (q_sparql_optional_filter, SQL_SPARQL_OPTIONAL_FILTER),
     "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),
+    "sparql_in_cast": (q_sparql_in_cast, SQL_SPARQL_IN_CAST),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
 }

@@ -23,9 +23,10 @@ selection — replacing the reference's hand-written optimizer rewrites
 
 Supported SPARQL subset (enough for every query shape the reference's
 abstract algebra models): PREFIX, SELECT [DISTINCT] ?v... | *, basic
-graph patterns, OPTIONAL { ... }, UNION of group graph patterns,
-FILTER with =, !=, <, <=, >, >=, BOUND, !, &&, ||, REGEX, ORDER BY
-[ASC|DESC], LIMIT, OFFSET.
+graph patterns, GRAPH <g>/{?g} groups over a quad table, OPTIONAL
+{ ... }, UNION of group graph patterns, FILTER with =, !=, <, <=, >,
+>=, BOUND, !, &&, ||, REGEX, IN / NOT IN, xsd:integer/double/... casts,
+STR, arithmetic (+ - * /), ORDER BY [ASC|DESC], LIMIT, OFFSET.
 
 Value semantics: positions hold N-Triples lexical forms (`<iri>`,
 `"lit"`, `"lit"^^<dt>`, `"3"^^xsd:integer`); FILTER comparisons are on
@@ -337,68 +338,204 @@ def _split_statements(chunk: str) -> list[str]:
     return [s for s in stmts if s.strip()]
 
 
-_CMP_RE = re.compile(
-    r"""^\s*(?P<l>\?[\w]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?|<[^>]*>|[-+]?\d+(?:\.\d+)?|\w+:[\w.%-]*)\s*
-        (?P<op>=|!=|<=|>=|<|>)\s*
-        (?P<r>\?[\w]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?|<[^>]*>|[-+]?\d+(?:\.\d+)?|\w+:[\w.%-]*)\s*$""",
+# FILTER expression grammar (covers the reference's transFilter /
+# transFunction set, MorphRDBQueryTranslator.scala:385-437, 988-1187:
+# comparisons, logical ops, BOUND, REGEX, E_OneOf (IN / NOT IN), xsd
+# casts, arithmetic, STR):
+#
+#   or     := and ('||' and)*
+#   and    := unary ('&&' unary)*
+#   unary  := '!' unary | rel
+#   rel    := BOUND(?v) | REGEX(?v, "re")
+#           | add (cmp add | [NOT] IN '(' add (',' add)* ')')?
+#   add    := mul (('+'|'-') mul)*
+#   mul    := prim (('*'|'/') prim)*
+#   prim   := '(' or ')' | '-' prim | '+' prim | func '(' add ')'
+#           | ?var | literal | number | <iri> | prefixed
+#
+# IN desugars to an OR of '=' nodes (NOT IN to an AND of '!='), so its
+# semantics are exactly chained equality.
+
+_F_TOKEN_RE = re.compile(
+    r"""\s*(
+      \?[\w]+
+    | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?
+    | <[^<>\s]*>
+    | \|\||&&|!=|<=|>=|=|<|>|!
+    | \d+\.\d+ | \d+
+    | [+\-*/(),]
+    | \w+:[\w.%-]+
+    | \w+
+    )""",
     re.VERBOSE,
 )
 
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+_INT_CASTS = {
+    "integer", "int", "long", "short", "byte", "nonNegativeInteger",
+    "positiveInteger", "negativeInteger", "unsignedInt", "unsignedLong",
+}
+_FLOAT_CASTS = {"decimal", "double", "float"}
+_BOOL_OPS = {"and", "or", "not", "bound", "regex", "=", "!=", "<", "<=", ">", ">="}
+_CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+class _FilterParser:
+    def __init__(self, src: str, prefixes: dict[str, str]):
+        self.prefixes = prefixes
+        self.toks: list[str] = []
+        pos = 0
+        while pos < len(src):
+            m = _F_TOKEN_RE.match(src, pos)
+            if not m:
+                if src[pos:].strip():
+                    raise ValueError(f"cannot tokenize FILTER at: {src[pos:]!r}")
+                break
+            self.toks.append(m.group(1))
+            pos = m.end()
+        self.i = 0
+
+    def _peek(self, ahead: int = 0) -> str | None:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def _pop(self) -> str:
+        t = self._peek()
+        if t is None:
+            raise ValueError("unexpected end of FILTER expression")
+        self.i += 1
+        return t
+
+    def _expect(self, want: str) -> None:
+        got = self._pop()
+        if got != want:
+            raise ValueError(f"expected {want!r} in FILTER, got {got!r}")
+
+    def parse(self) -> FilterNode:
+        node = self.or_expr()
+        if self._peek() is not None:
+            raise ValueError(
+                f"unsupported FILTER tail: {' '.join(self.toks[self.i:])!r}"
+            )
+        if not (isinstance(node, FilterNode) and node.op in _BOOL_OPS):
+            raise ValueError("FILTER expression is not boolean")
+        return node
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self._peek() == "||":
+            self._pop()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else FilterNode("or", parts)
+
+    def and_expr(self):
+        parts = [self.unary()]
+        while self._peek() == "&&":
+            self._pop()
+            parts.append(self.unary())
+        return parts[0] if len(parts) == 1 else FilterNode("and", parts)
+
+    def unary(self):
+        if self._peek() == "!":
+            self._pop()
+            return FilterNode("not", [self.unary()])
+        return self.relational()
+
+    def relational(self):
+        t = self._peek()
+        if t is not None and t.upper() == "BOUND" and self._peek(1) == "(":
+            self._pop()
+            self._expect("(")
+            v = self._pop()
+            self._expect(")")
+            return FilterNode("bound", [v.lstrip("?")])
+        if t is not None and t.upper() == "REGEX" and self._peek(1) == "(":
+            self._pop()
+            self._expect("(")
+            v = self._pop()
+            self._expect(",")
+            pat = self._pop()
+            self._expect(")")
+            return FilterNode("regex", [v.lstrip("?"), _unquote(pat)])
+        left = self.additive()
+        nxt = self._peek()
+        if nxt in _CMP_OPS:
+            return FilterNode(self._pop(), [left, self.additive()])
+        if nxt is not None and nxt.upper() in ("IN", "NOT"):
+            negated = nxt.upper() == "NOT"
+            self._pop()
+            if negated:
+                kw = self._pop()
+                if kw.upper() != "IN":
+                    raise ValueError(f"expected IN after NOT, got {kw!r}")
+            self._expect("(")
+            items = [self.additive()]
+            while self._peek() == ",":
+                self._pop()
+                items.append(self.additive())
+            self._expect(")")
+            if negated:
+                return FilterNode("and", [FilterNode("!=", [left, x]) for x in items])
+            return FilterNode("or", [FilterNode("=", [left, x]) for x in items])
+        return left  # value node (inside parens of a larger expression)
+
+    def additive(self):
+        node = self.mult()
+        while self._peek() in ("+", "-"):
+            op = self._pop()
+            node = FilterNode("add" if op == "+" else "sub", [node, self.mult()])
+        return node
+
+    def mult(self):
+        node = self.primary()
+        while self._peek() in ("*", "/"):
+            op = self._pop()
+            node = FilterNode("mul" if op == "*" else "div", [node, self.primary()])
+        return node
+
+    def primary(self):
+        t = self._peek()
+        if t is None:
+            raise ValueError("unexpected end of FILTER expression")
+        if t == "(":
+            self._pop()
+            node = self.or_expr()
+            self._expect(")")
+            return node
+        if t == "-":
+            self._pop()
+            return FilterNode("neg", [self.primary()])
+        if t == "+":
+            self._pop()
+            return self.primary()
+        if self._peek(1) == "(" and (
+            re.match(r"^\w+:[\w.%-]+$", t) or t.upper() == "STR"
+        ):
+            self._pop()
+            self._expect("(")
+            arg = self.additive()
+            self._expect(")")
+            if t.upper() == "STR":
+                return FilterNode("str", [arg])
+            pfx, local = t.split(":", 1)
+            if pfx == "xsd" or self.prefixes.get(pfx) == _XSD_NS:
+                if local in _INT_CASTS:
+                    return FilterNode("cast_int", [arg])
+                if local in _FLOAT_CASTS:
+                    return FilterNode("cast_num", [arg])
+                if local == "string":
+                    return FilterNode("str", [arg])
+            raise ValueError(f"unsupported FILTER function {t}()")
+        return _expand(self._pop(), self.prefixes)
+
+
+def _unquote(tok: str) -> str:
+    m = re.match(r'^"((?:[^"\\]|\\.)*)"', tok)
+    return m.group(1) if m else tok
+
 
 def _parse_filter(src: str, prefixes: dict[str, str]) -> FilterNode:
-    src = src.strip()
-    # strip one redundant outer paren layer
-    while src.startswith("(") and _match_paren(src, 0) == len(src) - 1:
-        src = src[1:-1].strip()
-    # top-level || / &&
-    for op, name in (("||", "or"), ("&&", "and")):
-        parts = _split_top(src, op)
-        if len(parts) > 1:
-            return FilterNode(
-                name, [_parse_filter(p, prefixes) for p in parts]
-            )
-    if src.startswith("!") and not src.startswith("!="):
-        return FilterNode("not", [_parse_filter(src[1:], prefixes)])
-    mb = re.match(r"^BOUND\s*\(\s*\?(\w+)\s*\)$", src, re.IGNORECASE)
-    if mb:
-        return FilterNode("bound", [mb.group(1)])
-    mr = re.match(
-        r'^REGEX\s*\(\s*\?(\w+)\s*,\s*"((?:[^"\\]|\\.)*)"\s*\)$',
-        src,
-        re.IGNORECASE,
-    )
-    if mr:
-        return FilterNode("regex", [mr.group(1), mr.group(2)])
-    mc = _CMP_RE.match(src)
-    if mc:
-        return FilterNode(
-            mc.group("op"),
-            [_expand(mc.group("l"), prefixes), _expand(mc.group("r"), prefixes)],
-        )
-    raise ValueError(f"unsupported FILTER expression: {src!r}")
-
-
-def _split_top(src: str, sep: str) -> list[str]:
-    parts, cur, depth, in_str = [], [], 0, False
-    i = 0
-    while i < len(src):
-        c = src[i]
-        if c == '"':
-            in_str = not in_str
-        if not in_str:
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif depth == 0 and src[i : i + 2] == sep:
-                parts.append("".join(cur))
-                cur = []
-                i += 2
-                continue
-        cur.append(c)
-        i += 1
-    parts.append("".join(cur))
-    return parts
+    return _FilterParser(src, prefixes).parse()
 
 
 # ---------------------------------------------------------------------------
@@ -456,18 +593,69 @@ def _group_df(triples: DataFrame, g: Group) -> DataFrame:
 _NUM_LIT_RE = re.compile(r'^"([-+]?\d+(?:\.\d+)?)"(?:\^\^<[^>]*>)?$')
 
 
-def _filter_operand(term, df: DataFrame) -> tuple[Column, bool]:
-    """-> (column, is_numeric)."""
+def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
+    """-> (column, kind) with kind in {'num', 'str', 'plain'}.
+
+    'num' operands are already numeric columns; 'str' operands are
+    simple-string lexical forms (STR()/xsd:string()); 'plain' operands
+    hold N-Triples lexical terms and coerce per comparison context."""
+    if isinstance(term, FilterNode):
+        op = term.op
+        if op in ("add", "sub", "mul", "div"):
+            l = _as_number(term.args[0], df)
+            r = _as_number(term.args[1], df)
+            col = {"add": l + r, "sub": l - r, "mul": l * r, "div": l / r}[op]
+            return col, "num"
+        if op == "neg":
+            return -_as_number(term.args[0], df), "num"
+        if op == "cast_num":
+            return _as_number(term.args[0], df), "num"
+        if op == "cast_int":
+            # truncation toward zero, as SQL CAST(... AS INTEGER)
+            return _as_number(term.args[0], df).cast("long").cast("double"), "num"
+        if op == "str":
+            return _as_lexical(term.args[0], df), "str"
+        raise ValueError(f"value expression expected in FILTER, got {op!r}")
     if isinstance(term, str) and term.startswith("?"):
-        return F.col(term[1:]), False
+        return F.col(term[1:]), "plain"
     if isinstance(term, str):
         m = _NUM_LIT_RE.match(term)
         if m:
-            return F.lit(float(m.group(1))), True
+            return F.lit(float(m.group(1))), "num"
         if re.match(r"^[-+]?\d+(\.\d+)?$", term):
-            return F.lit(float(term)), True
-        return F.lit(term), False
+            return F.lit(float(term)), "num"
+        return F.lit(term), "plain"
     raise ValueError(f"bad filter operand {term!r}")
+
+
+def _as_number(term, df: DataFrame) -> Column:
+    col, kind = _filter_operand(term, df)
+    if kind == "num":
+        return col
+    return _numeric_value(col)
+
+
+def _as_lexical(term, df: DataFrame) -> Column:
+    """SPARQL STR(): lexical form of a term (quoted literal -> its
+    lexical value, <iri> -> the iri string, else as-is)."""
+    if isinstance(term, str) and not term.startswith("?"):
+        if term.startswith('"'):
+            return F.lit(_unquote(term))
+        if term.startswith("<") and term.endswith(">"):
+            return F.lit(term[1:-1])
+    col, kind = _filter_operand(term, df)
+    if kind == "num":
+        return col.cast("string")
+    if kind == "str":
+        return col
+    return (
+        F.when(
+            col.startswith('"'),
+            F.regexp_extract(col, r'^"((?:[^"\\]|\\.)*)"', 1),
+        )
+        .when(col.startswith("<"), F.regexp_replace(col, r"^<|>$", ""))
+        .otherwise(col)
+    )
 
 
 def _numeric_value(col: Column) -> Column:
@@ -491,12 +679,16 @@ def _filter_col(node: FilterNode, df: DataFrame) -> Column:
         return F.col(node.args[0]).isNotNull()
     if op == "regex":
         return F.col(node.args[0]).rlike(node.args[1])
-    l, lnum = _filter_operand(node.args[0], df)
-    r, rnum = _filter_operand(node.args[1], df)
-    numeric = lnum or rnum or op in {"<", "<=", ">", ">="}
-    if numeric:
-        lval = _numeric_value(l) if not lnum else l
-        rval = _numeric_value(r) if not rnum else r
+    if op not in _CMP_OPS:
+        raise ValueError(f"boolean expression expected in FILTER, got {op!r}")
+    l, lk = _filter_operand(node.args[0], df)
+    r, rk = _filter_operand(node.args[1], df)
+    if lk == "str" or rk == "str":
+        lval = l if lk == "str" else _as_lexical(node.args[0], df)
+        rval = r if rk == "str" else _as_lexical(node.args[1], df)
+    elif lk == "num" or rk == "num" or op in {"<", "<=", ">", ">="}:
+        lval = l if lk == "num" else _numeric_value(l)
+        rval = r if rk == "num" else _numeric_value(r)
     else:
         lval, rval = l, r
     return {

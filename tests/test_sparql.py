@@ -288,3 +288,42 @@ def test_optional_no_shared_vars_keeps_left(triples):
     )
     got = rows(out)
     assert got == {('"alice"', None), ('"bob"', None), ('"carol"', None)}
+
+
+def test_filter_in_and_not_in(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?x ex:name ?n FILTER (?n IN ("alice", "carol")) }""",
+    )
+    assert rows(out) == {('"alice"',), ('"carol"',)}
+    out2 = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?x ex:name ?n FILTER (?n NOT IN ("alice", "carol")) }""",
+    )
+    assert rows(out2) == {('"bob"',)}
+
+
+def test_filter_cast_and_arithmetic(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?n WHERE {
+            ?x ex:name ?n . ?x ex:age ?age
+            FILTER (xsd:integer(?age) * 2 >= 50 && xsd:integer(?age) - 10 < 30)
+        }""",
+    )
+    assert rows(out) == {('"alice"',)}  # 30*2=60>=50, 30-10=20<30; bob 17*2<50
+
+
+def test_filter_str_and_nested_parens(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE {
+            ?x ex:name ?n FILTER (STR(?n) = "bob" || (STR(?n) = "carol" && ?n != "alice"))
+        }""",
+    )
+    assert rows(out) == {('"bob"',), ('"carol"',)}
