@@ -1387,6 +1387,53 @@ GROUP BY obj
 """
 
 
+# GRAPH patterns over the quad table (named-graph semantics per
+# materializeQuad, MorphBaseMaterializer.scala:77-152)
+
+NATION_GRAPHS_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMNationG>
+    xrr:logicalSource [ rr:tableName "nation"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/nation/{n_nationkey}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:name;
+        rr:objectMap [ rr:column "n_name" ];
+        rr:graph ex:gNames;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:regionkey;
+        rr:objectMap [ rr:column "n_regionkey" ];
+        rr:graph ex:gKeys;
+    ];
+    .
+"""
+
+SPARQL_GRAPH_QUADS = """
+PREFIX ex: <http://example.org/ontology#>
+SELECT ?g ?n ?v WHERE { GRAPH ?g { ?n ?p ?v } }
+"""
+
+
+def q_sparql_graph_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = SourceCatalog(spark).register("nation", _load(spark, sf_dir, "nation"))
+    quads = MappingCompiler(spark, parse_mapping(NATION_GRAPHS_TTL), catalog).quads()
+    return sparql_select(quads, SPARQL_GRAPH_QUADS)
+
+
+SQL_SPARQL_GRAPH_QUADS = f"""
+SELECT '<{ONT}gNames>' AS g, '<{EX}nation/' || n_nationkey || '>' AS n,
+       '"' || n_name || '"' AS v
+FROM nation
+UNION
+SELECT '<{ONT}gKeys>', '<{EX}nation/' || n_nationkey || '>',
+       '"' || n_regionkey || '"^^<{XSD_INT}>'
+FROM nation
+"""
+
+
 # FILTER breadth: IN + xsd cast + arithmetic (the reference's E_OneOf /
 # transFunction set, MorphRDBQueryTranslator.scala:988-1187)
 
@@ -1509,6 +1556,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_optional_filter": (q_sparql_optional_filter, SQL_SPARQL_OPTIONAL_FILTER),
     "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),
     "sparql_in_cast": (q_sparql_in_cast, SQL_SPARQL_IN_CAST),
+    "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
 }

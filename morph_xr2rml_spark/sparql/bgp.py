@@ -65,12 +65,13 @@ class Filter:
 @dataclass
 class Group:
     """A group graph pattern: required patterns, optional sub-groups,
-    filters, union branches."""
+    filters, union branches, GRAPH sub-groups."""
 
     patterns: list[TriplePattern] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
+    graphs: list[tuple[Term, "Group"]] = field(default_factory=list)
 
 
 @dataclass
@@ -222,11 +223,21 @@ def _split_blocks(src: str) -> list[tuple[str, str]]:
     while i < n:
         mopt = re.match(r"\s*OPTIONAL\s*\{", src[i:], re.IGNORECASE)
         mfil = re.match(r"\s*FILTER\s*\(", src[i:], re.IGNORECASE)
+        mgra = re.match(
+            r"\s*GRAPH\s+(\?\w+|<[^<>\s]*>|\w+:[\w.%-]*)\s*\{",
+            src[i:],
+            re.IGNORECASE,
+        )
         mgrp = re.match(r"\s*\{", src[i:])
         if mopt:
             flush()
             j = _match_brace(src, i + mopt.end() - 1)
             blocks.append(("optional", src[i + mopt.end() : j]))
+            i = j + 1
+        elif mgra:
+            flush()
+            j = _match_brace(src, i + mgra.end() - 1)
+            blocks.append(("graph", (mgra.group(1), src[i + mgra.end() : j])))
             i = j + 1
         elif mfil:
             flush()
@@ -300,6 +311,9 @@ def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
             g.filters.append(Filter(_parse_filter(chunk, prefixes)))
         elif kind == "union":
             g.unions.append([_parse_group(b, prefixes) for b in chunk])
+        elif kind == "graph":
+            gterm, body = chunk
+            g.graphs.append((_expand(gterm, prefixes), _parse_group(body, prefixes)))
     return g
 
 
@@ -547,9 +561,28 @@ def _is_var(t: Term) -> bool:
     return t.startswith("?")
 
 
-def _pattern_df(triples: DataFrame, tp: TriplePattern) -> DataFrame:
+def _pattern_df(
+    triples: DataFrame, tp: TriplePattern, graph: Term | None = None
+) -> DataFrame:
+    """One triple pattern -> bindings. When the input has a ``graph``
+    column (a quad table), RDF dataset semantics apply: patterns
+    outside GRAPH match the default graph (graph IS NULL); GRAPH <iri>
+    restricts to that named graph; GRAPH ?g ranges over named graphs
+    and binds ?g (the reference's materializeQuad semantics,
+    MorphBaseMaterializer.scala:77-152)."""
     df = triples
     cols: dict[str, Column] = {}
+    if "graph" in triples.columns:
+        if graph is None:
+            df = df.where(F.col("graph").isNull())
+        elif _is_var(graph):
+            df = df.where(F.col("graph").isNotNull())
+            cols[graph[1:]] = F.col("graph")
+        else:
+            df = df.where(F.col("graph") == F.lit(graph))
+    elif graph is not None:
+        raise ValueError("GRAPH pattern requires a quad table input "
+                         "(use MappingCompiler.quads())")
     for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
         if _is_var(term):
             var = term[1:]
@@ -575,16 +608,20 @@ def _join_bindings(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
     return left.crossJoin(right)
 
 
-def _group_df(triples: DataFrame, g: Group) -> DataFrame:
-    parts: list[DataFrame] = [_pattern_df(triples, tp) for tp in g.patterns]
+def _group_df(
+    triples: DataFrame, g: Group, graph: Term | None = None
+) -> DataFrame:
+    parts: list[DataFrame] = [_pattern_df(triples, tp, graph) for tp in g.patterns]
+    for gterm, sub in g.graphs:
+        parts.append(_group_df(triples, sub, gterm))
     for branches in g.unions:
-        branch_dfs = [_group_df(triples, b) for b in branches]
+        branch_dfs = [_group_df(triples, b, graph) for b in branches]
         parts.append(functools.reduce(DataFrame.unionByName, branch_dfs))
     if not parts:
         raise ValueError("empty group graph pattern")
     df = functools.reduce(lambda a, b: _join_bindings(a, b, "inner"), parts)
     for opt in g.optionals:
-        df = _join_bindings(df, _group_df(triples, opt), "left")
+        df = _join_bindings(df, _group_df(triples, opt, graph), "left")
     for f in g.filters:
         df = df.where(_filter_col(f.expr, df))
     return df

@@ -327,3 +327,27 @@ def test_filter_str_and_nested_parens(triples):
         }""",
     )
     assert rows(out) == {('"bob"',), ('"carol"',)}
+
+
+def test_graph_patterns(spark):
+    quads = spark.createDataFrame(
+        [
+            ("<http://x/s1>", "<http://x/p>", '"a"', "<http://x/g1>"),
+            ("<http://x/s2>", "<http://x/p>", '"b"', "<http://x/g2>"),
+            ("<http://x/s3>", "<http://x/p>", '"c"', None),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    # GRAPH ?g ranges over named graphs only and binds ?g
+    named = sparql_select(
+        quads, "SELECT ?g ?o WHERE { GRAPH ?g { ?s <http://x/p> ?o } }"
+    )
+    assert rows(named) == {("<http://x/g1>", '"a"'), ("<http://x/g2>", '"b"')}
+    # constant GRAPH restricts to one named graph
+    one = sparql_select(
+        quads, "SELECT ?o WHERE { GRAPH <http://x/g2> { ?s ?p ?o } }"
+    )
+    assert rows(one) == {('"b"',)}
+    # patterns outside GRAPH match the default graph only
+    dflt = sparql_select(quads, "SELECT ?o WHERE { ?s <http://x/p> ?o }")
+    assert rows(dflt) == {('"c"',)}
