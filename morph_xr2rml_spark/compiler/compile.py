@@ -87,7 +87,10 @@ class CompileOptions:
     encode_unsafe_chars_in_db_values: bool = True  # MorphProperties.scala:46
     dedup: bool = True  # Jena model set semantics (S8)
     cache_parents: bool = True  # S6 query-result cache analogue
-    limits: dict[str, int] = field(default_factory=dict)  # S5 per-TM limits
+    # S5 per-TM slice/offset (mapDataTranslationLimits/Offsets,
+    # MorphRDBUnfolder.scala:328-346; SQLQuery.setSlice/setOffset)
+    limits: dict[str, int] = field(default_factory=dict)
+    offsets: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass
@@ -364,6 +367,12 @@ class MappingCompiler:
                 udfs.iterator_evaluator(ls.iterator, ls.formulation)
             )
             df = df.withColumn(doc_col, F.explode(it_udf(F.col(doc_col))))
+        # OFFSET before LIMIT, as in the generated 'LIMIT n OFFSET m'
+        # (skip m rows, then take n). Like the reference's SQL without
+        # ORDER BY, which rows are skipped is engine-determined.
+        offset = self.options.offsets.get(tm.name)
+        if offset is not None:
+            df = df.offset(offset)
         limit = self.options.limits.get(tm.name)
         if limit is not None:
             df = df.limit(limit)

@@ -4,12 +4,13 @@ Covers the reference's source operators (SURVEY §2.1):
   S1 table scan        rr:tableName           (MorphRDBUnfolder.unfoldLogicalSource:65-97)
   S2 SQL-query scan    rr:sqlQuery            (same :76-93 — Catalyst parses)
   S3 collection scan   xrr:query "db.X.find({...})"
-                       (MongoDBQuery.parseQueryString:67-86) — the find
-                       predicate subset {field: {$exists: 0|1|true|false}} and
-                       {} compiles to DataFrame filters; everything else the
-                       reference ships to MongoDB, we evaluate as a JSON
-                       predicate on the doc column
-  S5 per-TM limits     df.limit(n)
+                       (MongoDBQuery.parseQueryString:67-86) — find
+                       documents with field equality, $eq/$ne/$gt/$gte/
+                       $lt/$lte, $in/$nin, $exists, and $and/$or
+                       compile to Catalyst predicates over the doc
+                       column (the reference ships them to MongoDB; we
+                       evaluate the same predicate on the JSON column)
+  S5 per-TM slice/offset  df.offset(m).limit(n)
   S6 source reuse      .persist() of parent-side scans across RefObjectMaps
 
 Document-shaped sources (JSONPath/XPath formulations) expose one string
@@ -21,9 +22,12 @@ formulation) expose ordinary columns.
 
 from __future__ import annotations
 
+import functools
+import json
+import operator
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mapping.model import LogicalSource
@@ -31,9 +35,23 @@ from ..mapping.model import LogicalSource
 _MONGO_FIND_RE = re.compile(
     r"^\s*db\.(?P<collection>\w+)\.find\s*\(\s*(?P<query>.*?)\s*\)\s*$", re.DOTALL
 )
-_EXISTS_RE = re.compile(
-    r"""^\{\s*['"]?(?P<field>[\w.]+)['"]?\s*:\s*\{\s*\$exists\s*:\s*(?P<val>1|0|true|false)\s*\}\s*\}$"""
-)
+
+_BARE_KEY_RE = re.compile(r"([{\s,])(\$?[\w.]+)\s*:")
+
+
+def _parse_find_json(q: str) -> dict:
+    """Tolerant parse of a find() document: bare keys and single-quoted
+    strings (as mapping authors write them) are normalized to JSON."""
+    try:
+        return json.loads(q)
+    except ValueError:
+        pass
+    norm = _BARE_KEY_RE.sub(r'\1"\2":', q)
+    norm = re.sub(r"'([^']*)'", r'"\1"', norm)
+    try:
+        return json.loads(norm)
+    except ValueError as e:
+        raise ValueError(f"cannot parse MongoDB find() query: {q!r}") from e
 
 
 class SourceCatalog:
@@ -154,24 +172,89 @@ class SourceCatalog:
         return df, doc_col
 
     def _apply_find_predicate(self, df: DataFrame, name: str, query: str) -> DataFrame:
-        """Compile the db.X.find({...}) predicate subset to a filter."""
+        """Compile the db.X.find({...}) predicate subset to a filter.
+
+        The reference passes arbitrary find documents straight through
+        to MongoDB (MongoDBQuery.parseQueryString:67-86); here the
+        common operator subset compiles to Catalyst predicates over the
+        document column: field equality, $eq/$ne/$gt/$gte/$lt/$lte,
+        $in/$nin, $exists, and $and/$or conjunction documents.
+        Divergence from Mongo: $ne/$nin do not match documents where
+        the field is missing (SQL three-valued semantics).
+        """
         q = query.strip()
         if q in ("", "{}"):
             return df
-        m = _EXISTS_RE.match(q)
-        if m:
-            field, val = m.group("field"), m.group("val")
-            want_exists = val in ("1", "true")
-            doc_col = self.doc_columns.get(name)
-            if doc_col is None and len(df.columns) == 1:
-                doc_col = df.columns[0]
-            if doc_col is not None:
-                probe = F.get_json_object(F.col(doc_col), "$." + field)
-                return df.filter(probe.isNotNull() if want_exists else probe.isNull())
-            if field in df.columns:
-                c = F.col(field)
-                return df.filter(c.isNotNull() if want_exists else c.isNull())
-        raise ValueError(
-            f"Unsupported MongoDB find() predicate (supported: {{}}, "
-            f"{{field: {{$exists: ...}}}}): {query!r}"
-        )
+        spec = _parse_find_json(q)
+        return df.filter(self._compile_find(df, name, spec))
+
+    def _compile_find(self, df: DataFrame, name: str, spec: dict) -> Column:
+        if not isinstance(spec, dict) or not spec:
+            raise ValueError(f"unsupported find() document: {spec!r}")
+        conds: list[Column] = []
+        for key, val in spec.items():
+            if key in ("$and", "$or"):
+                subs = [self._compile_find(df, name, s) for s in val]
+                combined = functools.reduce(
+                    operator.and_ if key == "$and" else operator.or_, subs
+                )
+                conds.append(combined)
+                continue
+            col = self._field_col(df, name, key)
+            if isinstance(val, dict):
+                for op, operand in val.items():
+                    conds.append(_find_op(col, op, operand))
+            else:
+                conds.append(_find_op(col, "$eq", val))
+        return functools.reduce(operator.and_, conds)
+
+    def _field_col(self, df: DataFrame, name: str, field: str) -> Column:
+        doc_col = self.doc_columns.get(name)
+        if doc_col is None and len(df.columns) == 1:
+            doc_col = df.columns[0]
+        if doc_col is not None and doc_col in df.columns:
+            return F.get_json_object(F.col(doc_col), "$." + field)
+        if field in df.columns:
+            return F.col(field)
+        raise ValueError(f"find() field {field!r} not resolvable on {df.columns}")
+
+
+def _find_cmp_value(col: Column, v) -> tuple[Column, Column]:
+    """(lhs, rhs) with the comparison typing a JSON-string field needs:
+    numbers compare numerically, booleans/strings lexically."""
+    if isinstance(v, bool):
+        return col, F.lit("true" if v else "false")
+    if isinstance(v, (int, float)):
+        return col.cast("double"), F.lit(float(v))
+    if v is None:
+        return col, F.lit(None).cast("string")
+    return col, F.lit(str(v))
+
+
+def _find_op(col: Column, op: str, operand) -> Column:
+    if op == "$exists":
+        want = operand in (1, True, "1", "true")
+        return col.isNotNull() if want else col.isNull()
+    if op in ("$in", "$nin"):
+        if not isinstance(operand, list) or not operand:
+            raise ValueError(f"{op} requires a non-empty list")
+        eqs = [_find_op(col, "$eq", v) for v in operand]
+        anyof = functools.reduce(operator.or_, eqs)
+        return anyof if op == "$in" else ~anyof
+    if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+        if operand is None:
+            if op == "$eq":
+                return col.isNull()
+            if op == "$ne":
+                return col.isNotNull()
+            raise ValueError(f"cannot order-compare against null ({op})")
+        lhs, rhs = _find_cmp_value(col, operand)
+        return {
+            "$eq": lhs == rhs,
+            "$ne": lhs != rhs,
+            "$gt": lhs > rhs,
+            "$gte": lhs >= rhs,
+            "$lt": lhs < rhs,
+            "$lte": lhs <= rhs,
+        }[op]
+    raise ValueError(f"unsupported find() operator {op!r}")

@@ -1,0 +1,96 @@
+"""Source-operator tests: per-TM slice/offset (S5) and the MongoDB
+find() predicate subset (S3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from morph_xr2rml_spark.compiler import CompileOptions, MappingCompiler
+from morph_xr2rml_spark.mapping import parse_mapping
+from morph_xr2rml_spark.mapping.model import LogicalSource
+from morph_xr2rml_spark.sources import SourceCatalog
+
+TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/> .
+
+<#TM>
+    xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/s/{id}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:name;
+        rr:objectMap [ rr:column "name" ];
+    ];
+    .
+"""
+
+
+def test_per_tm_limit_and_offset(spark):
+    # single partition so LIMIT/OFFSET row selection is deterministic
+    src = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(10)], "id long, name string"
+    ).coalesce(1)
+    catalog = SourceCatalog(spark).register("t", src)
+    doc = parse_mapping(TTL)
+    tm_name = next(iter(doc.triples_maps))
+    opts = CompileOptions(limits={tm_name: 3}, offsets={tm_name: 4})
+    out = MappingCompiler(spark, doc, catalog, opts).triples()
+    subjects = {r["subj"] for r in out.collect()}
+    assert subjects == {
+        "<http://example.org/s/4>",
+        "<http://example.org/s/5>",
+        "<http://example.org/s/6>",
+    }
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        ('{"name": "ann", "age": 31, "tags": 1, "city": "nice"}',),
+        ('{"name": "bob", "age": 17, "city": "oslo"}',),
+        ('{"name": "cal", "age": 45, "tags": 2, "city": "nice"}',),
+        ('{"name": "dan", "age": 20, "city": "rome"}',),
+    ]
+    return spark.createDataFrame(rows, "doc string")
+
+
+def _find(spark, people, query):
+    catalog = SourceCatalog(spark).register("people", people, doc_column="doc")
+    ls = LogicalSource(
+        kind="query", value=f"db.people.find({query})", formulation="JSONPath"
+    )
+    df, doc_col = catalog.resolve(ls)
+    import json
+
+    return {json.loads(r[doc_col])["name"] for r in df.collect()}
+
+
+def test_find_eq_and_bare_equality(spark, people):
+    assert _find(spark, people, "{name: 'ann'}") == {"ann"}
+    assert _find(spark, people, "{name: {$eq: 'bob'}}") == {"bob"}
+
+
+def test_find_comparisons(spark, people):
+    assert _find(spark, people, "{age: {$gte: 20}}") == {"ann", "cal", "dan"}
+    assert _find(spark, people, "{age: {$gt: 20, $lt: 45}}") == {"ann"}
+    assert _find(spark, people, "{age: {$ne: 17}}") == {"ann", "cal", "dan"}
+
+
+def test_find_in_exists_and(spark, people):
+    assert _find(spark, people, "{city: {$in: ['nice', 'rome']}}") == {
+        "ann", "cal", "dan"
+    }
+    assert _find(spark, people, "{tags: {$exists: true}}") == {"ann", "cal"}
+    assert _find(spark, people, "{tags: {$exists: 0}}") == {"bob", "dan"}
+    assert _find(
+        spark, people, "{$and: [{city: 'nice'}, {age: {$lt: 40}}]}"
+    ) == {"ann"}
+    assert _find(
+        spark, people, "{$or: [{name: 'bob'}, {age: {$gte: 45}}]}"
+    ) == {"bob", "cal"}
+
+
+def test_find_unsupported_raises(spark, people):
+    with pytest.raises(ValueError):
+        _find(spark, people, "{name: {$regex: 'a.*'}}")
