@@ -351,3 +351,21 @@ def test_graph_patterns(spark):
     # patterns outside GRAPH match the default graph only
     dflt = sparql_select(quads, "SELECT ?o WHERE { ?s <http://x/p> ?o }")
     assert rows(dflt) == {('"c"',)}
+
+
+def test_rdfxml_and_n3(spark, triples):
+    from xml.dom import minidom
+
+    from morph_xr2rml_spark.sinks.serialize import to_n3, to_rdfxml
+
+    xml = to_rdfxml(triples)
+    doc = minidom.parseString(xml)  # well-formed
+    descs = doc.getElementsByTagName("rdf:Description")
+    assert len(descs) == 3  # p/1 p/2 p/3
+    assert 'rdf:about="http://example.org/p/1"' in xml
+    assert 'rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30<' in xml
+    assert 'rdf:resource="http://example.org/p/2"' in xml
+
+    n3 = to_n3(triples, {"ex": "http://example.org/"})
+    assert "@prefix ex: <http://example.org/> ." in n3
+    assert 'ex:name "alice"' in n3
