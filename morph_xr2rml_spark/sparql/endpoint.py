@@ -1,0 +1,155 @@
+"""SPARQL Protocol 1.1 query endpoint over a materialized triple table.
+
+The reference exposes its query translator as a JAX-RS REST service
+(morph-xr2rml-dist SparqlRestService.scala: GET /sparql?query=...,
+URL-encoded and application/sparql-query POST, a /sparql/test probe,
+SELECT/ASK/DESCRIBE/CONSTRUCT forms, content-negotiated result
+serialization). This is the same protocol surface over the Spark
+engine: queries evaluate as Catalyst plans via sparql_select /
+sparql_construct / sparql_describe and results serialize through
+sparql/results.py.
+
+Driver-side by design: an endpoint answers interactive queries, so
+result sets are bounded (``max_rows``); bulk exports go through the
+distributed sinks instead.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from pyspark.sql import DataFrame
+
+from .bgp import sparql_construct, sparql_describe, sparql_select
+from .results import ask, to_sparql_json, to_sparql_xml
+
+_FORM_RE = re.compile(
+    r"\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\b", re.IGNORECASE
+)
+
+_XML_TYPES = ("application/sparql-results+xml", "application/xml", "text/xml")
+
+
+def _query_form(query: str) -> str:
+    # first query-form keyword outside the prologue
+    m = _FORM_RE.search(query)
+    if not m:
+        raise ValueError("not a SPARQL query form (SELECT/ASK/CONSTRUCT/DESCRIBE)")
+    return m.group(1).upper()
+
+
+def evaluate(
+    triples: DataFrame, query: str, accept: str = "", max_rows: int = 10_000
+) -> tuple[str, str]:
+    """-> (content_type, body) for one SPARQL protocol request."""
+    form = _query_form(query)
+    want_xml = any(t in accept for t in _XML_TYPES)
+    if form == "ASK":
+        # strip the ASK keyword into a SELECT * / LIMIT 1 existence probe
+        body = re.sub(r"\bASK\b", "SELECT *", query, count=1, flags=re.IGNORECASE)
+        result = ask(sparql_select(triples, body))
+        if want_xml:
+            return (
+                "application/sparql-results+xml",
+                '<?xml version="1.0"?>\n<sparql xmlns="http://www.w3.org/2005/'
+                f'sparql-results#"><head/><boolean>{str(result).lower()}</boolean>'
+                "</sparql>",
+            )
+        return (
+            "application/sparql-results+json",
+            json.dumps({"head": {}, "boolean": result}),
+        )
+    if form in ("CONSTRUCT", "DESCRIBE"):
+        if form == "CONSTRUCT":
+            out = sparql_construct(triples, query)
+        else:
+            m = re.search(r"DESCRIBE\s+(<[^>]*>)", query, re.IGNORECASE)
+            if not m:
+                raise ValueError("only DESCRIBE <iri> is supported")
+            out = sparql_describe(triples, m.group(1))
+        rows = out.limit(max_rows).collect()
+        nt = "".join(f"{r['subj']} {r['pred']} {r['obj']} .\n" for r in rows)
+        return ("application/n-triples", nt)
+    df = sparql_select(triples, query)
+    if want_xml:
+        return ("application/sparql-results+xml", to_sparql_xml(df, max_rows))
+    return ("application/sparql-results+json", to_sparql_json(df, max_rows))
+
+
+class SparqlEndpoint:
+    """Embedded HTTP server speaking the SPARQL 1.1 protocol (query
+    operation) over one triple DataFrame."""
+
+    def __init__(self, triples: DataFrame, host: str = "127.0.0.1",
+                 port: int = 0, max_rows: int = 10_000):
+        self.triples = triples
+        self.max_rows = max_rows
+        endpoint = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: N802 — quiet server
+                pass
+
+            def _respond(self, code: int, ctype: str, body: str) -> None:
+                data = body.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", f"{ctype}; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _run(self, query: str | None) -> None:
+                if not query:
+                    self._respond(400, "text/plain", "missing 'query' parameter")
+                    return
+                try:
+                    ctype, body = evaluate(
+                        endpoint.triples, query,
+                        self.headers.get("Accept", ""), endpoint.max_rows,
+                    )
+                except Exception as e:  # noqa: BLE001 — protocol error reply
+                    self._respond(400, "text/plain", f"query error: {e}")
+                    return
+                self._respond(200, ctype, body)
+
+            def do_GET(self) -> None:  # noqa: N802
+                url = urlsplit(self.path)
+                if url.path.rstrip("/").endswith("/test"):
+                    self._respond(200, "text/plain",
+                                  "SPARQL REST service is up and running")
+                    return
+                q = parse_qs(url.query).get("query", [None])[0]
+                self._run(q)
+
+            def do_POST(self) -> None:  # noqa: N802
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8")
+                ctype = self.headers.get("Content-Type", "")
+                if "application/sparql-query" in ctype:
+                    q: str | None = raw
+                else:  # application/x-www-form-urlencoded
+                    q = parse_qs(raw).get("query", [None])[0]
+                self._run(q)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "SparqlEndpoint":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

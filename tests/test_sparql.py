@@ -369,3 +369,53 @@ def test_rdfxml_and_n3(spark, triples):
     n3 = to_n3(triples, {"ex": "http://example.org/"})
     assert "@prefix ex: <http://example.org/> ." in n3
     assert 'ex:name "alice"' in n3
+
+
+def test_sparql_endpoint(spark, triples):
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from morph_xr2rml_spark.sparql.endpoint import SparqlEndpoint
+
+    ep = SparqlEndpoint(triples).start()
+    base = f"http://127.0.0.1:{ep.port}/sparql"
+    try:
+        with urllib.request.urlopen(base + "/test") as r:
+            assert b"up and running" in r.read()
+        q = ('PREFIX ex: <http://example.org/> '
+             'SELECT ?n WHERE { ?x ex:knows ?y . ?y ex:name ?n }')
+        with urllib.request.urlopen(
+            base + "?query=" + urllib.parse.quote(q)
+        ) as r:
+            assert r.headers.get_content_type() == "application/sparql-results+json"
+            got = _json.loads(r.read())
+        names = {b["n"]["value"] for b in got["results"]["bindings"]}
+        assert names == {"bob", "carol"}
+        # POST form-urlencoded + ASK + XML accept
+        aq = 'PREFIX ex: <http://example.org/> ASK WHERE { ?x ex:name "alice" }'
+        req = urllib.request.Request(
+            base, data=urllib.parse.urlencode({"query": aq}).encode(),
+            headers={"Accept": "application/sparql-results+xml"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert b"<boolean>true</boolean>" in r.read()
+        # CONSTRUCT via raw sparql-query POST -> N-Triples
+        cq = ('PREFIX ex: <http://example.org/> '
+              'CONSTRUCT { ?y ex:knownBy ?x } WHERE { ?x ex:knows ?y }')
+        req = urllib.request.Request(
+            base, data=cq.encode(),
+            headers={"Content-Type": "application/sparql-query"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = r.read().decode()
+        assert "<http://example.org/p/2> <http://example.org/knownBy> "\
+               "<http://example.org/p/1> ." in body
+        # bad query -> 400
+        try:
+            urllib.request.urlopen(base + "?query=nonsense")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        ep.stop()
