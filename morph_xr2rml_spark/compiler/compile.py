@@ -82,6 +82,28 @@ def _cross_constant_graphs(
 
 
 @dataclass
+class _PredBranch:
+    """A branch with a compile-time-known constant predicate (and a single
+    constant graph), carrying only (subj, obj) rows.
+
+    Predicate-disjointness dedup routing: set-semantic dedup of the
+    output only has to compare triples that can actually be equal, and
+    triples with different predicates never are. When a branch's
+    predicate constant is distinct from every other predicate the
+    mapping can emit, the branch deduplicates independently on
+    (subj, obj) — a narrower and (at scale) independently-parallel
+    shuffle — instead of joining the pooled dropDuplicates over all
+    constructed triples. The reference reaches the same output set via
+    Jena's global model-set semantics (MorphBaseMaterializer
+    .materializeQuad:77-152); the routing is a pure optimization."""
+
+    pred: str
+    graph: str | None
+    df: DataFrame  # (subj, obj) rows
+    distinct: bool = False  # True when df is already duplicate-free
+
+
+@dataclass
 class CompileOptions:
     encode_unsafe_chars_in_uri: bool = True  # MorphProperties.scala:45
     encode_unsafe_chars_in_db_values: bool = True  # MorphProperties.scala:46
@@ -97,6 +119,21 @@ class CompileOptions:
 class _TermExpr:
     col: Column
     is_array: bool
+    # source columns the expression is a pure function of; None = unknown
+    # (UDF-backed or document-column-based). Drives dedup pushdown: a
+    # scalar term expr with known refs can be rebuilt on a pre-deduped
+    # projection of just those columns.
+    refs: tuple[str, ...] | None = None
+    # cheap predicate over refs equivalent to `col IS NOT NULL` — used to
+    # filter BEFORE dedup pushdown so the (expensive, ~60-op) term
+    # construction expression is never evaluated on pre-dedup rows just
+    # to test nullability
+    defined: Column | None = None
+    # True when the construction is provably injective on `refs` (equal
+    # terms imply equal source tuples), letting the post-construction
+    # (subj, obj) dedup be elided — the narrow source-level dedup is
+    # then already exact
+    injective: bool = False
 
     def as_array(self) -> Column:
         if self.is_array:
@@ -119,6 +156,7 @@ class MappingCompiler:
         self.catalog = catalog
         self.options = options or CompileOptions()
         self._source_cache: dict[str, tuple[DataFrame, str | None]] = {}
+        self._parent_cache: dict[str, tuple[DataFrame, str | None]] = {}
         self._persisted: list[DataFrame] = []
         # ship the package to executor Python workers so pandas-UDF
         # closures can be unpickled (spark-submit --py-files equivalent)
@@ -149,15 +187,64 @@ class MappingCompiler:
         return self._assemble(["subj", "pred", "obj", "graph"], QUAD_SCHEMA)
 
     def _assemble(self, cols: list[str], schema: T.StructType) -> DataFrame:
+        with_graph = "graph" in cols
         plain: list[DataFrame] = []
         chains: list[DataFrame] = []
+        keyed: list[_PredBranch] = []
+        pool_preds: set[str] = set()
+        has_unknown_pred = False
         for name in self.doc.triples_maps:
-            p, c = self._quad_branches(name)
+            p, c, k, preds, unk = self._tm_branches(
+                name, collect_keyed=self.options.dedup
+            )
             plain.extend(p)
             chains.extend(c)
+            keyed.extend(k)
+            pool_preds |= preds
+            has_unknown_pred = has_unknown_pred or unk
+
+        # Route constant-predicate branches: a branch whose predicate no
+        # other branch can emit dedups independently on (subj, obj);
+        # branches sharing a predicate (e.g. rdf:type across TMs) dedup
+        # together per group. Any overlap with the pool (or a
+        # non-constant predicate anywhere) sends the branch back to the
+        # pooled global dedup — still with its narrow pre-dedup applied.
+        groups: dict[object, list[_PredBranch]] = {}
+        for kb in keyed:
+            if has_unknown_pred or kb.pred in pool_preds:
+                plain.append(
+                    kb.df.select(
+                        F.col("subj"),
+                        F.lit(kb.pred).alias("pred"),
+                        F.col("obj"),
+                        F.lit(kb.graph).cast("string").alias("graph"),
+                    )
+                )
+            else:
+                key = (kb.pred, kb.graph) if with_graph else kb.pred
+                groups.setdefault(key, []).append(kb)
+        keyed_out: list[DataFrame] = []
+        for members in groups.values():
+            u = functools.reduce(
+                DataFrame.unionByName, [m.df for m in members]
+            )
+            if len(members) > 1 or not members[0].distinct:
+                u = u.dropDuplicates(["subj", "obj"])
+            keyed_out.append(
+                u.select(
+                    F.col("subj"),
+                    F.lit(members[0].pred).alias("pred"),
+                    F.col("obj"),
+                    F.lit(members[0].graph if with_graph else None)
+                    .cast("string")
+                    .alias("graph"),
+                )
+            )
+
         plain = [d.select(*cols) for d in plain]
         chains = [d.select(*cols) for d in chains]
-        if not plain and not chains:
+        keyed_out = [d.select(*cols) for d in keyed_out]
+        if not plain and not chains and not keyed_out:
             return self.spark.createDataFrame([], schema)
         out = functools.reduce(DataFrame.unionByName, plain) if plain else None
         if out is not None and self.options.dedup:
@@ -170,30 +257,44 @@ class MappingCompiler:
                 # never against the main pool)
                 ch = ch.dropDuplicates(cols)
             out = out.unionByName(ch) if out is not None else ch
+        for k in keyed_out:
+            out = out.unionByName(k) if out is not None else k
         return out
 
     def quads_for(self, tm_name: str) -> DataFrame:
         """(subj, pred, obj, graph) for one triples map; graph is NULL
         for the default graph (no dedup — use triples()/quads() for the
         set-semantic views)."""
-        plain, chains = self._quad_branches(tm_name)
+        plain, chains, _keyed, _preds, _unk = self._tm_branches(tm_name)
         branches = plain + chains
         if not branches:
             return None
         return functools.reduce(DataFrame.unionByName, branches)
 
-    def _quad_branches(
-        self, tm_name: str
-    ) -> tuple[list[DataFrame], list[DataFrame]]:
-        """(plain branches, unique-by-construction chain branches) of
-        (subj, pred, obj, graph) rows for one triples map; graph is NULL
+    def _tm_branches(
+        self, tm_name: str, collect_keyed: bool = False
+    ) -> tuple[
+        list[DataFrame], list[DataFrame], list[_PredBranch], set[str], bool
+    ]:
+        """(plain branches, unique-by-construction chain branches,
+        keyed constant-pred branches, pool predicate constants,
+        pool-has-unknown-pred flag) for one triples map; graph is NULL
         for the default graph. Named-graph semantics follow
         materializeQuads' S x P x (O u RO) x G (MorphBaseMaterializer
         .scala:159-200): POM triples go into subjectMap graphs u POM
         graphs; rr:class triples into subjectMap graphs; no graphs =>
-        default graph."""
+        default graph.
+
+        With ``collect_keyed`` (the set-semantic assembly path),
+        branches whose predicate is a compile-time constant under a
+        single constant graph are returned as `_PredBranch` records
+        instead of joining the pooled dedup; scalar-native term pairs
+        additionally dedup on their referenced source columns BEFORE
+        term construction (dedup pushdown — the narrow projection
+        shuffles instead of the constructed term strings)."""
         tm = self.doc.triples_maps[tm_name]
         base, doc_col = self._resolved_base(tm)
+        raw_base = base  # pre-projection view for dedup pushdown
 
         subj = self._compile_term_map(tm.subject_map, base, doc_col)
         if subj.is_array:
@@ -246,13 +347,50 @@ class MappingCompiler:
                 )
             )
 
+        keyed: list[_PredBranch] = []
+        pool_preds: set[str] = set()
+        has_unknown_pred = False
+
+        def note_pool_pred(pm: TermMap) -> None:
+            nonlocal has_unknown_pred
+            v = self._constant_term_value(pm)
+            if v is None:
+                has_unknown_pred = True
+            else:
+                pool_preds.add(v)
+
+        subj_keyable = (
+            collect_keyed and not subj.is_array and subj.refs is not None
+        )
+
         # rdf:type triples per rr:class (P8), into the subject graphs
+        type_pred = f"<{terms.RDF_TYPE}>"
+        subj_const_graphs = self._maybe_constant_graphs(tm.subject_map, None)
         for class_uri in tm.subject_map.class_uris:
+            kb = None
+            if (
+                subj_keyable
+                and subj_const_graphs is not None
+                and len(subj_const_graphs) == 1
+            ):
+                kb = self._keyed_branch(
+                    raw_base,
+                    subj,
+                    _TermExpr(
+                        F.lit(terms.make_iri(class_uri, False)), False, ()
+                    ),
+                    type_pred,
+                    subj_const_graphs[0],
+                )
+            if kb is not None:
+                keyed.append(kb)
+                continue
+            pool_preds.add(type_pred)
             pair_arrays.append(
                 with_graphs(
                     F.array(
                         F.struct(
-                            F.lit(f"<{terms.RDF_TYPE}>").alias("p"),
+                            F.lit(type_pred).alias("p"),
                             F.lit(terms.make_iri(class_uri, False)).alias("o"),
                         )
                     ),
@@ -262,25 +400,69 @@ class MappingCompiler:
 
         collection_jobs = []
         for pom in tm.predicate_object_maps:
-            pom_graphs = [
-                materialize(self._compile_term_map(gm, base, doc_col))
-                for gm in pom.graph_maps
-            ]
-            graphs = graph_array(subj_graphs + pom_graphs)
-            pred_exprs = [
-                materialize(self._compile_term_map(pm, base, doc_col))
-                for pm in pom.predicate_maps
-            ]
+            pom_const_graphs = self._maybe_constant_graphs(tm.subject_map, pom)
+            # lazily materialized pooled-path expressions (only branches
+            # that actually stay in the pool pay the column plumbing)
+            _graphs_col: list[Column] = []
+            _pred_mats: dict[int, _TermExpr] = {}
+
+            def pooled_graphs(pom=pom, _graphs_col=_graphs_col) -> Column:
+                if not _graphs_col:
+                    pom_graphs = [
+                        materialize(self._compile_term_map(gm, base, doc_col))
+                        for gm in pom.graph_maps
+                    ]
+                    _graphs_col.append(graph_array(subj_graphs + pom_graphs))
+                return _graphs_col[0]
+
+            def pooled_pred(
+                i: int, pm: TermMap, _pred_mats=_pred_mats
+            ) -> _TermExpr:
+                if i not in _pred_mats:
+                    _pred_mats[i] = materialize(
+                        self._compile_term_map(pm, base, doc_col)
+                    )
+                return _pred_mats[i]
+
             for om in pom.object_maps:
-                obj = materialize(self._compile_term_map(om, base, doc_col))
                 coll_tt = om.collection_term_type()
                 if coll_tt:
                     const_graphs = self._constant_graph_terms(tm.subject_map, pom)
-                    for pe in pred_exprs:
-                        collection_jobs.append((pe, obj, coll_tt, const_graphs))
-                else:
-                    for pe in pred_exprs:
-                        pair_arrays.append(with_graphs(self._pairs(pe, obj), graphs))
+                    obj = materialize(self._compile_term_map(om, base, doc_col))
+                    for i, pm in enumerate(pom.predicate_maps):
+                        note_pool_pred(pm)  # collection heads stay pooled
+                        collection_jobs.append(
+                            (pooled_pred(i, pm), obj, coll_tt, const_graphs)
+                        )
+                    continue
+                obj_expr = self._compile_term_map(om, base, doc_col)
+                obj_mat: list[_TermExpr] = []
+                for i, pm in enumerate(pom.predicate_maps):
+                    pv = self._constant_term_value(pm)
+                    kb = None
+                    if (
+                        subj_keyable
+                        and pv is not None
+                        and not obj_expr.is_array
+                        and obj_expr.refs is not None
+                        and pom_const_graphs is not None
+                        and len(pom_const_graphs) == 1
+                    ):
+                        kb = self._keyed_branch(
+                            raw_base, subj, obj_expr, pv, pom_const_graphs[0]
+                        )
+                    if kb is not None:
+                        keyed.append(kb)
+                        continue
+                    note_pool_pred(pm)
+                    if not obj_mat:
+                        obj_mat.append(materialize(obj_expr))
+                    pair_arrays.append(
+                        with_graphs(
+                            self._pairs(pooled_pred(i, pm), obj_mat[0]),
+                            pooled_graphs(),
+                        )
+                    )
 
         chain_branches: list[DataFrame] = []
 
@@ -304,9 +486,31 @@ class MappingCompiler:
             const_graphs = self._constant_graph_terms(tm.subject_map, pom)
             for rom in pom.ref_object_maps:
                 plains, colls = self._ref_object_branches(tm, base, pom, rom)
-                for rb in plains:
-                    branches.extend(_cross_constant_graphs(rb, const_graphs))
-                for head, chain in colls:
+                for pred_term, rb in plains:
+                    if collect_keyed and len(const_graphs) == 1:
+                        nb = None
+                        if subj_keyable:
+                            nb = self._rom_keyed_branch(
+                                tm, raw_base, doc_col, subj, rom,
+                                pred_term, const_graphs[0],
+                            )
+                        # narrow-join pushdown when the subject maps are
+                        # native; otherwise the constant predicate still
+                        # routes the constructed join output to its own
+                        # (subj, obj) dedup group
+                        keyed.append(
+                            nb or _PredBranch(pred_term, const_graphs[0], rb)
+                        )
+                        continue
+                    pool_preds.add(pred_term)
+                    full = rb.select(
+                        F.col("subj"),
+                        F.lit(pred_term).alias("pred"),
+                        F.col("obj"),
+                    )
+                    branches.extend(_cross_constant_graphs(full, const_graphs))
+                for pred_term, (head, chain) in colls:
+                    pool_preds.add(pred_term)  # heads stay pooled
                     add_collection(head, chain, const_graphs)
 
         if pair_arrays:
@@ -326,7 +530,7 @@ class MappingCompiler:
             )
             branches.insert(0, main)
 
-        return branches, chain_branches
+        return branches, chain_branches, keyed, pool_preds, has_unknown_pred
 
     def triples_for(self, tm_name: str) -> DataFrame:
         q = self.quads_for(tm_name)
@@ -337,20 +541,164 @@ class MappingCompiler:
         branches leave the source row behind (groupBy / join), so only
         constant graph maps are supported there — the common case; the
         main projection path supports all term-map kinds."""
-        gms = list(subject_map.graph_maps) + list(pom.graph_maps)
+        out = self._maybe_constant_graphs(subject_map, pom)
+        if out is None:
+            raise NotImplementedError(
+                "non-constant graph maps on collection/RefObjectMap "
+                "branches are not supported"
+            )
+        return out
+
+    def _maybe_constant_graphs(self, subject_map, pom) -> list[str | None] | None:
+        """Constant graph-term list for a POM (or subject map alone when
+        ``pom`` is None); ``[None]`` = default graph; None = at least
+        one non-constant graph map."""
+        gms = list(subject_map.graph_maps) + (
+            list(pom.graph_maps) if pom is not None else []
+        )
         if not gms:
             return [None]
         out: list[str | None] = []
         for gm in gms:
             if gm.kind != CONSTANT:
-                raise NotImplementedError(
-                    "non-constant graph maps on collection/RefObjectMap "
-                    "branches are not supported"
-                )
+                return None
             out.append(
                 terms.make_iri(gm.constant, self.options.encode_unsafe_chars_in_uri)
             )
         return out
+
+    def _constant_term_value(self, term_map: TermMap) -> str | None:
+        """The N-Triples term a constant term map emits, or None."""
+        if term_map.kind != CONSTANT:
+            return None
+        member_tt, datatype, language = term_map.member_term_info()
+        return terms.make_term(
+            term_map.constant,
+            member_tt,
+            datatype,
+            language,
+            self.options.encode_unsafe_chars_in_uri,
+        )
+
+    def _keyed_branch(
+        self,
+        raw_base: DataFrame,
+        subj: _TermExpr,
+        obj: _TermExpr,
+        pred_value: str,
+        graph: str | None,
+    ) -> _PredBranch | None:
+        """Dedup-pushdown branch: project the referenced source columns,
+        dedup the narrow projection, THEN construct terms (plus a final
+        (subj, obj) dedup — term construction need not be injective).
+        The wide shuffle of constructed term strings becomes a narrow
+        shuffle of raw source values. Returns None when no source
+        columns are referenced (degenerate constant/constant pair —
+        left in the pool)."""
+        refs = sorted(set(subj.refs or ()) | set(obj.refs or ()))
+        if not refs:
+            return None
+        # definedness filter BEFORE the narrow dedup: it references only
+        # raw columns, so it pushes to the scan; filtering on the
+        # constructed term would drag the whole construction expression
+        # below the dedup and evaluate it once per pre-dedup row
+        filtered = raw_base
+        for cond in (subj.defined, obj.defined):
+            if cond is not None:
+                filtered = filtered.where(cond)
+        narrow = filtered.select(*[F.col(c) for c in refs]).dropDuplicates(refs)
+        built = narrow.select(subj.col.alias("subj"), obj.col.alias("obj"))
+        if subj.defined is None or obj.defined is None:
+            built = built.where(
+                F.col("subj").isNotNull() & F.col("obj").isNotNull()
+            )
+        distinct = subj.injective and obj.injective
+        if not distinct:
+            built = built.dropDuplicates(["subj", "obj"])
+            distinct = True
+        return _PredBranch(pred_value, graph, built, distinct=True)
+
+    def _rom_keyed_branch(
+        self,
+        tm: TriplesMap,
+        raw_base: DataFrame,
+        doc_col: str | None,
+        subj: _TermExpr,
+        rom: RefObjectMap,
+        pred_value: str,
+        graph: str | None,
+    ) -> _PredBranch | None:
+        """Dedup pushdown through a RefObjectMap equi-join (J1): project
+        each side to (subject refs, join keys), construct the parent
+        subject on the (small, broadcastable) parent side, equi-join,
+        then dedup ONE narrow (child refs, parent subject) projection —
+        instead of constructing both subjects for every join row and
+        deduplicating the full term strings. Falls back (None) for
+        value-intersection joins and non-native subject maps."""
+        parent_tm = self.doc.triples_maps[rom.parent_triples_map]
+        ls, pls = tm.logical_source, parent_tm.logical_source
+        conds = rom.join_conditions
+        if not conds:
+            return None
+        if ls == pls and all(jc.child_ref == jc.parent_ref for jc in conds):
+            # self-join-eliminated case: parent subject is computable on
+            # the child row — an ordinary scalar pushdown pair
+            psubj = self._compile_term_map(parent_tm.subject_map, raw_base, doc_col)
+            if psubj.is_array or psubj.refs is None:
+                return None
+            return self._keyed_branch(raw_base, subj, psubj, pred_value, graph)
+        if not all(
+            self._is_simple_ref(jc.child_ref, ls)
+            and self._is_simple_ref(jc.parent_ref, pls)
+            for jc in conds
+        ):
+            return None
+        pdf, pdoc = self._parent_side(parent_tm)
+        psubj = self._compile_term_map(parent_tm.subject_map, pdf, pdoc)
+        if psubj.is_array or psubj.refs is None:
+            return None
+        ccols = [
+            MixedSyntaxPath.parse(jc.child_ref, "Column").referenced_column
+            for jc in conds
+        ]
+        pcols = [
+            MixedSyntaxPath.parse(jc.parent_ref, "Column").referenced_column
+            for jc in conds
+        ]
+        parent_j = pdf
+        if psubj.defined is not None:
+            parent_j = parent_j.where(psubj.defined)
+        parent_n = parent_j.select(
+            *[F.col(pc).alias(f"__pk{i}") for i, pc in enumerate(pcols)],
+            psubj.col.alias("__psubj"),
+        )
+        if psubj.defined is None:
+            parent_n = parent_n.where(F.col("__psubj").isNotNull())
+        parent_n = parent_n.dropDuplicates(
+            [f"__pk{i}" for i in range(len(pcols))] + ["__psubj"]
+        )
+        crefs = list(dict.fromkeys(list(subj.refs or ()) + ccols))
+        child_n = raw_base
+        if subj.defined is not None:
+            child_n = child_n.where(subj.defined)
+        child_n = child_n.select(*[F.col(c) for c in crefs])
+        on = None
+        for i, cc in enumerate(ccols):
+            c = child_n[cc] == parent_n[f"__pk{i}"]
+            on = c if on is None else (on & c)
+        pairs = (
+            child_n.join(parent_n, on, "inner")
+            .select(*[child_n[c] for c in (subj.refs or ())], parent_n["__psubj"])
+            .dropDuplicates(list(subj.refs or ()) + ["__psubj"])
+        )
+        built = pairs.select(
+            subj.col.alias("subj"), F.col("__psubj").alias("obj")
+        )
+        if subj.defined is None:
+            built = built.where(F.col("subj").isNotNull())
+        if not subj.injective:
+            built = built.dropDuplicates(["subj", "obj"])
+        return _PredBranch(pred_value, graph, built, distinct=True)
 
     # ------------------------------------------------------------------
     # source resolution
@@ -404,7 +752,10 @@ class MappingCompiler:
                 # through translateSingleValue -> createIRI with the global flag
                 opts.encode_unsafe_chars_in_uri,
             )
-            return _TermExpr(F.lit(value), is_array=False)
+            return _TermExpr(
+                F.lit(value), is_array=False, refs=(),
+                defined=F.lit(value is not None), injective=True,
+            )
 
         if term_map.kind == COLUMN:
             return self._native_scalar(
@@ -413,6 +764,7 @@ class MappingCompiler:
                 member_tt,
                 datatype,
                 language,
+                refs=(term_map.column,),
             )
 
         if term_map.kind == REFERENCE:
@@ -421,7 +773,8 @@ class MappingCompiler:
                 # plain column reference: behaves exactly like rr:column
                 col = msp.referenced_column
                 return self._native_scalar(
-                    F.col(col), self._field_type(df, col), member_tt, datatype, language
+                    F.col(col), self._field_type(df, col), member_tt, datatype,
+                    language, refs=(col,),
                 )
             evaluator = udfs.reference_evaluator(term_map, opts.encode_unsafe_chars_in_uri)
             input_col = (
@@ -463,6 +816,7 @@ class MappingCompiler:
         member_tt: str,
         datatype: str | None,
         language: str | None,
+        refs: tuple[str, ...] | None = None,
     ) -> _TermExpr:
         """rr:column / simple-reference fast path: JVM-side term build with
         compile-time datatype inference (DatatypeMapper analogue)."""
@@ -472,7 +826,21 @@ class MappingCompiler:
         term = terms.term_col(
             lex, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
         )
-        return _TermExpr(F.when(col.isNotNull(), term), is_array=False)
+        # literal construction (escape_ntriples) is injective except where
+        # the lexical form or datatype normalization can merge distinct
+        # values: timestamp formatting truncates to 0.1s, and the
+        # xsd:dateTime / xsd:boolean normalizers are many-to-one.
+        # IRI/bnode column maps trim and %-encode WITHOUT escaping '%'
+        # (faithful to the reference) and are not injective.
+        injective = (
+            member_tt == terms.TERM_LITERAL
+            and not isinstance(dtype, T.TimestampType)
+            and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
+        )
+        return _TermExpr(
+            F.when(col.isNotNull(), term), is_array=False, refs=refs,
+            defined=col.isNotNull(), injective=injective,
+        )
 
     def _try_native_template(
         self,
@@ -524,7 +892,27 @@ class MappingCompiler:
         term = terms.term_col(
             value, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
         )
-        return _TermExpr(F.when(~all_empty, term), is_array=False)
+        # Injectivity: with >1 group, separator ambiguity ("a"+"xb" vs
+        # "ax"+"b") and the null/'' conflation make expansion
+        # many-to-one. A single group is unambiguous; for IRIs the
+        # db-value %-encoding (with '%'->'%25' first) keeps the group
+        # value recoverable despite the outer trim/url-encode (which
+        # then only touch constant parts); literal templates escape
+        # injectively unless datatype normalization applies.
+        injective = len(cols) == 1 and (
+            (
+                member_tt == terms.TERM_IRI
+                and self.options.encode_unsafe_chars_in_db_values
+            )
+            or (
+                member_tt == terms.TERM_LITERAL
+                and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
+            )
+        )
+        return _TermExpr(
+            F.when(~all_empty, term), is_array=False, refs=tuple(cols),
+            defined=~all_empty, injective=injective,
+        )
 
     # ------------------------------------------------------------------
     # pair / branch assembly
@@ -594,8 +982,8 @@ class MappingCompiler:
 
         rom_df = self._rom_pairs(tm, base, parent_tm, rom)  # (__row_id, __subj, __psubj)
 
-        branches: list[DataFrame] = []
-        collections: list[tuple[DataFrame, DataFrame]] = []
+        branches: list[tuple[str, DataFrame]] = []
+        collections: list[tuple[str, tuple[DataFrame, DataFrame]]] = []
         coll_tt = rom.collection_term_type()
         for pred_term in pred_terms:
             if coll_tt:
@@ -614,24 +1002,31 @@ class MappingCompiler:
                 )
                 if self.options.dedup:
                     grouped = dedup_collections(grouped)
-                collections.append(expand_collections_split(grouped, coll_tt))
+                collections.append(
+                    (pred_term, expand_collections_split(grouped, coll_tt))
+                )
             else:
                 branches.append(
-                    rom_df.select(
-                        F.col("__subj").alias("subj"),
-                        F.lit(pred_term).alias("pred"),
-                        F.col("__psubj").alias("obj"),
+                    (
+                        pred_term,
+                        rom_df.select(
+                            F.col("__subj").alias("subj"),
+                            F.col("__psubj").alias("obj"),
+                        ),
                     )
                 )
         return branches, collections
 
     def _parent_side(self, parent_tm: TriplesMap) -> tuple[DataFrame, str | None]:
+        if parent_tm.name in self._parent_cache:
+            return self._parent_cache[parent_tm.name]
         pdf, pdoc = self._resolved_base(parent_tm)
         if self.options.cache_parents:
             from ..plans.caching import cache
 
             pdf = cache(pdf)
             self._persisted.append(pdf)
+        self._parent_cache[parent_tm.name] = (pdf, pdoc)
         return pdf, pdoc
 
     def release(self) -> None:

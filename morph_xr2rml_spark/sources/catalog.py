@@ -106,6 +106,13 @@ class SourceCatalog:
         """
         target = self.spark.sparkContext.defaultParallelism
         try:
+            # inputFiles() sees through derived plans to the leaf scan,
+            # so a frame the caller already repartitioned would look
+            # "narrow" here — never reshuffle lineage that contains an
+            # explicit repartition/rebalance
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if "Repartition" in plan or "RebalancePartitions" in plan:
+                return df
             files = df.inputFiles()
         except Exception:  # noqa: BLE001 — non-file-backed plan
             return df
