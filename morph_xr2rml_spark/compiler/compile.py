@@ -348,6 +348,11 @@ class MappingCompiler:
             )
 
         keyed: list[_PredBranch] = []
+        # deferred keyed-branch builders: each takes the (possibly
+        # persisted) shared narrow base and returns a _PredBranch or
+        # None. Collected first so the source-materialization decision
+        # can see every branch's column needs (see end of method).
+        keyed_requests: list = []
         pool_preds: set[str] = set()
         has_unknown_pred = False
 
@@ -367,23 +372,24 @@ class MappingCompiler:
         type_pred = f"<{terms.RDF_TYPE}>"
         subj_const_graphs = self._maybe_constant_graphs(tm.subject_map, None)
         for class_uri in tm.subject_map.class_uris:
-            kb = None
             if (
                 subj_keyable
+                and subj.refs  # non-empty: degenerate const/const stays pooled
                 and subj_const_graphs is not None
                 and len(subj_const_graphs) == 1
             ):
-                kb = self._keyed_branch(
-                    raw_base,
-                    subj,
-                    _TermExpr(
-                        F.lit(terms.make_iri(class_uri, False)), False, ()
-                    ),
-                    type_pred,
-                    subj_const_graphs[0],
+                obj_c = _TermExpr(
+                    F.lit(terms.make_iri(class_uri, False)), False, (),
+                    defined=F.lit(True), injective=True,
                 )
-            if kb is not None:
-                keyed.append(kb)
+                keyed_requests.append(
+                    (
+                        lambda b, o=obj_c, g=subj_const_graphs[0]: (
+                            self._keyed_branch(b, subj, o, type_pred, g)
+                        ),
+                        tuple(subj.refs),
+                    )
+                )
                 continue
             pool_preds.add(type_pred)
             pair_arrays.append(
@@ -439,20 +445,23 @@ class MappingCompiler:
                 obj_mat: list[_TermExpr] = []
                 for i, pm in enumerate(pom.predicate_maps):
                     pv = self._constant_term_value(pm)
-                    kb = None
                     if (
                         subj_keyable
                         and pv is not None
                         and not obj_expr.is_array
                         and obj_expr.refs is not None
+                        and (subj.refs or obj_expr.refs)
                         and pom_const_graphs is not None
                         and len(pom_const_graphs) == 1
                     ):
-                        kb = self._keyed_branch(
-                            raw_base, subj, obj_expr, pv, pom_const_graphs[0]
+                        keyed_requests.append(
+                            (
+                                lambda b, o=obj_expr, p=pv, g=pom_const_graphs[0]: (
+                                    self._keyed_branch(b, subj, o, p, g)
+                                ),
+                                tuple(set(subj.refs) | set(obj_expr.refs)),
+                            )
                         )
-                    if kb is not None:
-                        keyed.append(kb)
                         continue
                     note_pool_pred(pm)
                     if not obj_mat:
@@ -488,19 +497,31 @@ class MappingCompiler:
                 plains, colls = self._ref_object_branches(tm, base, pom, rom)
                 for pred_term, rb in plains:
                     if collect_keyed and len(const_graphs) == 1:
-                        nb = None
-                        if subj_keyable:
-                            nb = self._rom_keyed_branch(
-                                tm, raw_base, doc_col, subj, rom,
-                                pred_term, const_graphs[0],
-                            )
-                        # narrow-join pushdown when the subject maps are
-                        # native; otherwise the constant predicate still
-                        # routes the constructed join output to its own
-                        # (subj, obj) dedup group
-                        keyed.append(
-                            nb or _PredBranch(pred_term, const_graphs[0], rb)
+                        needs = (
+                            self._rom_keyed_needs(tm, raw_base, doc_col, rom, subj)
+                            if subj_keyable
+                            else None
                         )
+                        if needs is not None:
+                            # narrow-join pushdown: defer so the child
+                            # side reads the shared narrow base
+                            keyed_requests.append(
+                                (
+                                    lambda b, r=rom, p=pred_term, g=const_graphs[0]: (
+                                        self._rom_keyed_branch(
+                                            tm, b, doc_col, subj, r, p, g
+                                        )
+                                    ),
+                                    needs,
+                                )
+                            )
+                        else:
+                            # constant predicate still routes the
+                            # constructed join output to its own
+                            # (subj, obj) dedup group
+                            keyed.append(
+                                _PredBranch(pred_term, const_graphs[0], rb)
+                            )
                         continue
                     pool_preds.add(pred_term)
                     full = rb.select(
@@ -529,6 +550,34 @@ class MappingCompiler:
                 )
             )
             branches.insert(0, main)
+
+        # Source-materialization decision for the keyed branches: each
+        # branch scans the source independently, which is the RIGHT
+        # plan over a columnar file/table source (pruned scans are
+        # cheap) but re-executes the whole upstream lineage when the
+        # source is a derived in-memory frame (e.g. the extraction /
+        # mention-detection pipeline). In that case persist ONE narrow
+        # projection of the union of referenced columns — the in-memory
+        # analogue of a checkpointed stage — and point every keyed
+        # branch at it.
+        if keyed_requests:
+            shared = raw_base
+            if (
+                len(keyed_requests) > 1
+                and not self._source_already_cached(tm)
+                and not self._cheap_rescan(raw_base)
+            ):
+                needed = sorted(
+                    {c for _b, cols in keyed_requests for c in cols}
+                )
+                from ..plans.caching import cache
+
+                shared = cache(raw_base.select(*needed))
+                self._persisted.append(shared)
+            for builder, _cols in keyed_requests:
+                kb = builder(shared)
+                if kb is not None:
+                    keyed.append(kb)
 
         return branches, chain_branches, keyed, pool_preds, has_unknown_pred
 
@@ -617,6 +666,82 @@ class MappingCompiler:
             built = built.dropDuplicates(["subj", "obj"])
             distinct = True
         return _PredBranch(pred_value, graph, built, distinct=True)
+
+    def _source_already_cached(self, tm: TriplesMap) -> bool:
+        """True when the user registered an externally persisted frame
+        for this TM's source: re-scans hit the block store, and a second
+        compiler-level persist would only add memory pressure (observed
+        cache-eviction churn at high replication factors)."""
+        ls = tm.logical_source
+        if ls.kind != "table":
+            return False
+        src = self.catalog.tables.get(ls.value)
+        if src is None:
+            return False
+        try:
+            lvl = src.storageLevel
+            return bool(lvl.useMemory or lvl.useDisk)
+        except Exception:  # noqa: BLE001
+            return False
+
+    _HEAVY_PLAN_MARKERS = (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "PythonUDF",
+        "Aggregate",
+        "Join",
+        "Window",
+        "Generate",
+        "Sort",
+    )
+
+    def _cheap_rescan(self, df: DataFrame) -> bool:
+        """True when re-scanning the frame is cheap (a pruned
+        project/filter chain over a table scan); False when the lineage
+        contains UDF stages, aggregates, joins or explodes whose
+        re-execution per consuming branch would multiply real work."""
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception:  # noqa: BLE001
+            return False
+        return not any(m in plan for m in self._HEAVY_PLAN_MARKERS)
+
+    def _rom_keyed_needs(
+        self,
+        tm: TriplesMap,
+        raw_base: DataFrame,
+        doc_col: str | None,
+        rom: RefObjectMap,
+        subj: _TermExpr,
+    ) -> tuple[str, ...] | None:
+        """Child-side columns the narrow-join pushdown needs, or None
+        when the ROM does not qualify (see _rom_keyed_branch)."""
+        parent_tm = self.doc.triples_maps[rom.parent_triples_map]
+        ls, pls = tm.logical_source, parent_tm.logical_source
+        conds = rom.join_conditions
+        if not conds:
+            return None
+        if ls == pls and all(jc.child_ref == jc.parent_ref for jc in conds):
+            psubj = self._compile_term_map(parent_tm.subject_map, raw_base, doc_col)
+            if psubj.is_array or psubj.refs is None:
+                return None
+            return tuple(set(subj.refs or ()) | set(psubj.refs))
+        if not all(
+            self._is_simple_ref(jc.child_ref, ls)
+            and self._is_simple_ref(jc.parent_ref, pls)
+            for jc in conds
+        ):
+            return None
+        pdf, pdoc = self._parent_side(parent_tm)
+        psubj = self._compile_term_map(parent_tm.subject_map, pdf, pdoc)
+        if psubj.is_array or psubj.refs is None:
+            return None
+        ccols = [
+            MixedSyntaxPath.parse(jc.child_ref, "Column").referenced_column
+            for jc in conds
+        ]
+        return tuple(set(subj.refs or ()) | set(ccols))
 
     def _rom_keyed_branch(
         self,
