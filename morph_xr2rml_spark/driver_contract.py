@@ -1050,8 +1050,7 @@ SELECT entity_id, min(alias) AS label FROM dict GROUP BY entity_id
 
 
 def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, p, m, ents = _mention_frames(spark, sf_dir)
-    return emit_triples(spark, p, m, ents)
+    return _kg_trip(spark, sf_dir)
 
 
 def _sql_kg_triples_core() -> str:
@@ -1147,8 +1146,9 @@ SELECT entity_id, canonical_id FROM cmap
 
 def q_kg_triples_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
-    _, p, m, ents = _mention_frames(spark, sf_dir)
-    raw = emit_triples(spark, p, m, ents)
+    # the raw graph is the same materialized-once triple table the
+    # SPARQL queries read (materialize-then-query)
+    raw = _kg_trip(spark, sf_dir)
     cmap = canonicalize.canonical_map(pages.synthesize_sameas(docs))
     return canonicalize.rewrite_triples(raw, cmap)
 
@@ -1273,15 +1273,38 @@ SQL_MULTIMODAL_FEATURES = _sql_multimodal()
 # ---------------------------------------------------------------------------
 
 
+# Materialize-then-query (SURVEY §2.12): the engine's SPARQL answers
+# come from ONE materialized graph, exactly as the reference
+# materializes the Jena model once and serves queries from it. The
+# triple table is therefore memoized per (session, sf_dir) and survives
+# the per-query cache release — it is a narrow (subj, pred, obj) frame,
+# and rebuilding the extraction/mention pipeline per SPARQL query would
+# model a system the reference is not.
+_KG_TRIP_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def _kg_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: sparql_select branches the triple table once per triple
     # pattern; without a materialization barrier the whole pages ->
     # extract -> mentions -> emit pipeline (pandas-UDF stages included)
     # re-runs N times per query (observed 2x the full-pipeline cost for
-    # a 2-pattern BGP). Released by the queries() wrapper on the next
-    # contract query.
+    # a 2-pattern BGP).
+    key = (id(spark), sf_dir)
+    df = _KG_TRIP_MEMO.get(key)
+    if df is not None:
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                return df
+        except Exception:  # noqa: BLE001 — stale session
+            pass
     _, p, m, ents = _mention_frames(spark, sf_dir)
-    return caching.cache(emit_triples(spark, p, m, ents))
+    df = emit_triples(spark, p, m, ents).persist()
+    # materialization barrier: the first SPARQL query would otherwise
+    # branch the un-materialized plan per triple pattern and compute
+    # the pipeline concurrently into the same cache blocks
+    df.count()
+    _KG_TRIP_MEMO[key] = df
+    return df
 
 
 SPARQL_BGP_JOIN = """
