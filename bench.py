@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_embedding_neardup",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_topk",
     "text_analysis",
     "multimodal_features",
     "sparql_bgp_join",

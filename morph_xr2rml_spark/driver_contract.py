@@ -844,6 +844,89 @@ SQL_SIM_LSH_ANN_TOPK = _sql_lsh_ann()
 
 
 # ---------------------------------------------------------------------------
+# 17b. Similarity search: IVF ANN. The coarse codebook is deterministic
+#      md5-seeded (similarity.ivf_centroids), |c|^2 is accumulated
+#      left-to-right at compile time, and the L2 ranking score
+#      |c|^2 - 2<v,c> is a left-fold double expression — so the oracle
+#      inlines the same literals and reproduces inverted-list
+#      assignment, probing, and exact re-rank bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_IVF_CLUSTERS, _IVF_NPROBE = 16, 4
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _TOPK_NQ)
+    df = similarity.ivf_topk(
+        emb, queries, k=_TOPK_K, n_clusters=_IVF_CLUSTERS,
+        nprobe=_IVF_NPROBE, dim=_LSH_DIM,
+    )
+    return df.select(
+        "query_id", "neighbor_id", "cos_bp", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_ivf() -> str:
+    cent_rows = []
+    for j, c in enumerate(similarity.ivf_centroids(_IVF_CLUSTERS, _LSH_DIM)):
+        c2 = 0.0
+        for x in c:  # same left-to-right accumulation as _centroid_scores
+            c2 = c2 + x * x
+        cent_rows.append(
+            f"({j}, [{', '.join(repr(x) for x in c)}], {c2!r})"
+        )
+    cents = ",\n        ".join(cent_rows)
+    return f"""
+WITH e AS (SELECT vec_id, {_SQL_VEC} AS v FROM embeddings),
+cent(j, c, c2) AS (VALUES
+        {cents}),
+scored_c AS (
+    SELECT e.vec_id, cent.j,
+           cent.c2 - 2.0 * list_reduce([e.v[i] * cent.c[i]
+                                        FOR i IN range(1, {_LSH_DIM} + 1)],
+                                       (a, x) -> a + x) AS s
+    FROM e, cent
+),
+assign AS (
+    SELECT vec_id, j AS cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s, j) AS rk
+    FROM scored_c
+),
+c_assign AS (SELECT vec_id, cluster FROM assign WHERE rk = 1),
+q_assign AS (
+    SELECT vec_id, cluster FROM assign
+    WHERE rk <= {_IVF_NPROBE} AND vec_id < {_TOPK_NQ}
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM q_assign q JOIN c_assign c USING (cluster)
+    WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(floor({_sql_dot('qe.v', 'ce.v')}
+                      / sqrt({_sql_dot('qe.v', 'qe.v')} * {_sql_dot('ce.v', 'ce.v')})
+                      * 10000.0) AS BIGINT) AS cos_bp
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_bp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_bp DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cos_bp, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK_K}
+"""
+
+
+SQL_SIM_IVF_TOPK = _sql_ivf()
+
+
+# ---------------------------------------------------------------------------
 # 18. Text analysis: language-ID, quality, token counts, fingerprint
 # ---------------------------------------------------------------------------
 
@@ -1566,6 +1649,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_lsh_ann_topk": (q_sim_lsh_ann_topk, SQL_SIM_LSH_ANN_TOPK),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "kg_pages": (q_kg_pages, SQL_KG_PAGES),
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),

@@ -118,6 +118,33 @@ def test_lsh_ann_recall(spark, emb):
     assert hits >= 2  # recall >= 2/3 with 8 tables on tiny data
 
 
+def test_ivf_assignment_and_recall(spark, emb):
+    # every vector lands in exactly one inverted list; probing all
+    # clusters makes the index exhaustive (recall 1.0 vs brute force)
+    cents = similarity.ivf_centroids(4, 8)
+    assign = similarity.ivf_assign(emb, cents, nprobe=1, dim=8)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(emb, queries, k=2).collect()
+    full = similarity.ivf_topk(
+        emb, queries, k=2, n_clusters=4, nprobe=4, dim=8
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+    # partial probing still finds most true neighbors on tiny data
+    approx = similarity.ivf_topk(
+        emb, queries, k=1, n_clusters=4, nprobe=2, dim=8
+    )
+    amap = {r["query_id"]: r["neighbor_id"] for r in approx.collect()
+            if r["rank"] == 1}
+    hits = sum(
+        1 for r in exact
+        if r["rank"] == 1 and amap.get(r["query_id"]) == r["neighbor_id"]
+    )
+    assert hits >= 2
+
+
 def test_multimodal_plumbing(spark, docs):
     media = multimodal.attach_fake_payload(docs)
     row = media.where(F.col("doc_id") == 1).first()
