@@ -125,7 +125,10 @@ class _Parser:
         iri = self._parse_iri_ref()
         self.prefixes[name] = iri.value
         self._skip_ws()
-        self._expect(".")
+        # Jena-lenient: real-world mappings (e.g. the reference's BSBM
+        # example) omit the terminating '.' on @prefix lines
+        if self.pos < len(self.text) and self.text[self.pos] == ".":
+            self.pos += 1
 
     def _parse_base(self) -> None:
         self._expect("@base")

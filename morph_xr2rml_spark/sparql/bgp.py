@@ -145,7 +145,45 @@ def _expand(tok: str, prefixes: dict[str, str]) -> str:
     return tok
 
 
+def _strip_comments(text: str) -> str:
+    """Remove '#'-to-end-of-line comments, ignoring '#' inside <IRI>
+    refs and quoted strings (SPARQL 1.1 grammar: comments are outside
+    tokens)."""
+    out: list[str] = []
+    in_iri = in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                in_str = False
+        elif in_iri:
+            out.append(ch)
+            if ch == ">":
+                in_iri = False
+        elif ch == '"':
+            in_str = True
+            out.append(ch)
+        elif ch == "<":
+            in_iri = True
+            out.append(ch)
+        elif ch == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def parse_sparql(text: str) -> SelectQuery:
+    text = _strip_comments(text)
     prefixes = dict(_PREFIX_RE.findall(text))
     body = _PREFIX_RE.sub("", text)
     msel = _SELECT_RE.search(body)
