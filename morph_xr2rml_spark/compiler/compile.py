@@ -103,6 +103,26 @@ class _PredBranch:
     distinct: bool = False  # True when df is already duplicate-free
 
 
+def _control_free_lexical(dtype: T.DataType) -> bool:
+    """True for source types whose lexical rendering can contain no
+    character the encoding chains rewrite non-injectively (C0 controls,
+    underscores, whitespace): integral, fractional (not timestamp —
+    its format truncates), and date types."""
+    return isinstance(
+        dtype,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+            T.DateType,
+        ),
+    )
+
+
 @dataclass
 class CompileOptions:
     encode_unsafe_chars_in_uri: bool = True  # MorphProperties.scala:45
@@ -951,15 +971,16 @@ class MappingCompiler:
         term = terms.term_col(
             lex, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
         )
-        # literal construction (escape_ntriples) is injective except where
-        # the lexical form or datatype normalization can merge distinct
-        # values: timestamp formatting truncates to 0.1s, and the
-        # xsd:dateTime / xsd:boolean normalizers are many-to-one.
-        # IRI/bnode column maps trim and %-encode WITHOUT escaping '%'
-        # (faithful to the reference) and are not injective.
+        # Injectivity holds only for source types whose lexical forms
+        # are control-free and underscore-free (numeric/date): string
+        # values can collide after the reference-faithful chains —
+        # encode_literal squeezes '_' runs, reserved-char encoding
+        # leaves C0 controls for the IRI strip/trim to delete
+        # (property-tested in tests/test_encoding_properties.py) — and
+        # timestamp formatting truncates to 0.1s.
         injective = (
             member_tt == terms.TERM_LITERAL
-            and not isinstance(dtype, T.TimestampType)
+            and _control_free_lexical(dtype)
             and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
         )
         return _TermExpr(
@@ -995,7 +1016,12 @@ class MappingCompiler:
         group_empty = [
             F.col(c).isNull() | (F.col(c).cast("string") == F.lit("")) for c in cols
         ]
-        all_empty = functools.reduce(lambda a, b: a & b, group_empty)
+        # a groupless template is a constant (always defined)
+        all_empty = (
+            functools.reduce(lambda a, b: a & b, group_empty)
+            if group_empty
+            else F.lit(False)
+        )
 
         group_values: list[Column] = []
         for c, empty in zip(cols, group_empty):
@@ -1019,19 +1045,22 @@ class MappingCompiler:
         )
         # Injectivity: with >1 group, separator ambiguity ("a"+"xb" vs
         # "ax"+"b") and the null/'' conflation make expansion
-        # many-to-one. A single group is unambiguous; for IRIs the
-        # db-value %-encoding (with '%'->'%25' first) keeps the group
-        # value recoverable despite the outer trim/url-encode (which
-        # then only touch constant parts); literal templates escape
-        # injectively unless datatype normalization applies.
-        injective = len(cols) == 1 and (
-            (
+        # many-to-one. A single group over a control-free lexical type
+        # (numeric/date) is unambiguous: its rendering contains no
+        # character the reserved-char encoding skips, the IRI
+        # strip/trim deletes, or the literal cleaner squeezes — string
+        # groups can collide through exactly those chains (e.g.
+        # 'a\\tb' vs 'ab' under the \\t strip), so they keep the
+        # post-construction dedup.
+        injective = (
+            len(cols) == 1
+            and _control_free_lexical(self._field_type(df, cols[0]))
+            and (
                 member_tt == terms.TERM_IRI
-                and self.options.encode_unsafe_chars_in_db_values
-            )
-            or (
-                member_tt == terms.TERM_LITERAL
-                and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
+                or (
+                    member_tt == terms.TERM_LITERAL
+                    and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
+                )
             )
         )
         return _TermExpr(

@@ -180,6 +180,42 @@ def test_rom_narrow_join_pushdown(spark):
     ]
 
 
+def test_control_chars_in_string_template(spark):
+    # 'a\tb' and 'ab' render to the SAME IRI (the reference-faithful
+    # chain leaves \t for the IRI strip to delete), so a string-typed
+    # template group must NOT skip the post-construction dedup — the
+    # two source rows yield ONE triple
+    df = spark.createDataFrame([("a\tb",), ("ab",)], "k string")
+    ttl = PREFIX + """
+<#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/s/x" ];
+  rr:predicateObjectMap [
+      rr:predicate ex:v;
+      rr:objectMap [ rr:template "http://example.org/v/{k}"; rr:termType rr:IRI ] ] .
+"""
+    got = _routed_equals_pool(spark, ttl, {"t": df})
+    assert got == [
+        (
+            "<http://example.org/s/x>",
+            "<http://example.org/v>",
+            "<http://example.org/v/ab>",
+        )
+    ]
+
+
+def test_underscore_squeeze_in_string_literal(spark):
+    # encode_literal collapses '_' runs (reference cleanString), so
+    # 'a__b' and 'a_b' are the same literal — one triple
+    df = spark.createDataFrame([(1, "a__b"), (1, "a_b")], "id int, v string")
+    ttl = PREFIX + """
+<#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/s/{id}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:column "v" ] ] .
+"""
+    got = _routed_equals_pool(spark, ttl, {"t": df})
+    assert len(got) == 1
+
+
 def test_keyed_plan_shape(spark):
     """The keyed branch must not evaluate term construction below the
     narrow dedup: the pre-exchange side of the plan must not contain
