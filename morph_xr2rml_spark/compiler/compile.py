@@ -123,6 +123,43 @@ def _control_free_lexical(dtype: T.DataType) -> bool:
     )
 
 
+def _digit_lexical(dtype: T.DataType) -> bool:
+    """Types whose lexical rendering uses only the alphabet [0-9-]
+    (integral renderings, ISO dates) — no char any encoding chain
+    rewrites, and disjoint from the safe separator set below."""
+    return isinstance(
+        dtype,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DateType),
+    )
+
+
+# separator first-chars that survive every encoding chain unchanged (or
+# char-wise expanded, e.g. nothing here %-encodes away) and can never
+# open a [0-9-] group rendering — the boundary between a group run and
+# the following literal is therefore unambiguous
+_SAFE_SEP_FIRST = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ/:#_"
+)
+
+
+def _separators_unambiguous(parts: list) -> bool:
+    """True when every literal between two template groups is non-empty
+    and opens with a safe separator char: the concatenation of digit
+    renderings and these literals parses back uniquely (scan a maximal
+    [0-9-] run per group, then match the fixed literal)."""
+    prev_was_group = False
+    for part in parts:
+        if isinstance(part, int):
+            if prev_was_group:
+                return False  # adjacent groups: "1"+"23" vs "12"+"3"
+            prev_was_group = True
+        else:
+            if prev_was_group and (not part or part[0] not in _SAFE_SEP_FIRST):
+                return False
+            prev_was_group = False
+    return True
+
+
 @dataclass
 class CompileOptions:
     encode_unsafe_chars_in_uri: bool = True  # MorphProperties.scala:45
@@ -315,6 +352,7 @@ class MappingCompiler:
         tm = self.doc.triples_maps[tm_name]
         base, doc_col = self._resolved_base(tm)
         raw_base = base  # pre-projection view for dedup pushdown
+        ukey = self._unique_key(tm)
 
         subj = self._compile_term_map(tm.subject_map, base, doc_col)
         if subj.is_array:
@@ -405,7 +443,7 @@ class MappingCompiler:
                 keyed_requests.append(
                     (
                         lambda b, o=obj_c, g=subj_const_graphs[0]: (
-                            self._keyed_branch(b, subj, o, type_pred, g)
+                            self._keyed_branch(b, subj, o, type_pred, g, ukey)
                         ),
                         tuple(subj.refs),
                     )
@@ -477,7 +515,7 @@ class MappingCompiler:
                         keyed_requests.append(
                             (
                                 lambda b, o=obj_expr, p=pv, g=pom_const_graphs[0]: (
-                                    self._keyed_branch(b, subj, o, p, g)
+                                    self._keyed_branch(b, subj, o, p, g, ukey)
                                 ),
                                 tuple(set(subj.refs) | set(obj_expr.refs)),
                             )
@@ -649,6 +687,15 @@ class MappingCompiler:
             self.options.encode_unsafe_chars_in_uri,
         )
 
+    def _unique_key(self, tm: TriplesMap) -> tuple[str, ...] | None:
+        """Columns the TM's source rows are provably unique on (catalog
+        primary-key hint), or None. An iterator multiplies rows, so the
+        hint only holds for non-iterator table sources."""
+        ls = tm.logical_source
+        if ls.kind != "table" or ls.iterator:
+            return None
+        return self.catalog.unique_keys.get(ls.value)
+
     def _keyed_branch(
         self,
         raw_base: DataFrame,
@@ -656,14 +703,20 @@ class MappingCompiler:
         obj: _TermExpr,
         pred_value: str,
         graph: str | None,
+        ukey: tuple[str, ...] | None = None,
     ) -> _PredBranch | None:
         """Dedup-pushdown branch: project the referenced source columns,
         dedup the narrow projection, THEN construct terms (plus a final
         (subj, obj) dedup — term construction need not be injective).
         The wide shuffle of constructed term strings becomes a narrow
-        shuffle of raw source values. Returns None when no source
-        columns are referenced (degenerate constant/constant pair —
-        left in the pool)."""
+        shuffle of raw source values. When the source rows are unique
+        on ``ukey`` (catalog primary-key hint) and one injective side
+        covers the key, the branch is duplicate-free by construction
+        and every dedup shuffle is elided — the plan a per-key source
+        table (pages keyed by page_id, an RDB table with its primary
+        key) deserves. Returns None when no source columns are
+        referenced (degenerate constant/constant pair — left in the
+        pool)."""
         refs = sorted(set(subj.refs or ()) | set(obj.refs or ()))
         if not refs:
             return None
@@ -675,16 +728,42 @@ class MappingCompiler:
         for cond in (subj.defined, obj.defined):
             if cond is not None:
                 filtered = filtered.where(cond)
-        narrow = filtered.select(*[F.col(c) for c in refs]).dropDuplicates(refs)
-        built = narrow.select(subj.col.alias("subj"), obj.col.alias("obj"))
-        if subj.defined is None or obj.defined is None:
-            built = built.where(
-                F.col("subj").isNotNull() & F.col("obj").isNotNull()
-            )
-        distinct = subj.injective and obj.injective
-        if not distinct:
+        keyset = set(ukey) if ukey else None
+        row_distinct = keyset is not None and keyset <= set(refs) and (
+            (subj.injective and obj.injective)
+            or (subj.injective and keyset <= set(subj.refs or ()))
+            or (obj.injective and keyset <= set(obj.refs or ()))
+        )
+        if row_distinct:
+            # rows unique on the key and an injective construction
+            # covers it: (subj, obj) pairs are distinct per source row
+            # — no shuffle at all
+            built = filtered.select(subj.col.alias("subj"), obj.col.alias("obj"))
+            if subj.defined is None or obj.defined is None:
+                built = built.where(
+                    F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                )
+        elif subj.injective and obj.injective:
+            # equal refs <=> equal terms: the narrow refs dedup IS the
+            # triple-set dedup, shuffling raw source values instead of
+            # constructed term strings
+            narrow = filtered.select(*[F.col(c) for c in refs]).dropDuplicates(refs)
+            built = narrow.select(subj.col.alias("subj"), obj.col.alias("obj"))
+            if subj.defined is None or obj.defined is None:
+                built = built.where(
+                    F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                )
+        else:
+            # non-injective construction must dedup on the terms anyway;
+            # a preceding refs dedup would be a second full shuffle of
+            # the same rows (measured: the two-shuffle shape cost one
+            # extra wide-stage per branch at every parallelism level)
+            built = filtered.select(subj.col.alias("subj"), obj.col.alias("obj"))
+            if subj.defined is None or obj.defined is None:
+                built = built.where(
+                    F.col("subj").isNotNull() & F.col("obj").isNotNull()
+                )
             built = built.dropDuplicates(["subj", "obj"])
-            distinct = True
         return _PredBranch(pred_value, graph, built, distinct=True)
 
     def _source_already_cached(self, tm: TriplesMap) -> bool:
@@ -791,7 +870,9 @@ class MappingCompiler:
             psubj = self._compile_term_map(parent_tm.subject_map, raw_base, doc_col)
             if psubj.is_array or psubj.refs is None:
                 return None
-            return self._keyed_branch(raw_base, subj, psubj, pred_value, graph)
+            return self._keyed_branch(
+                raw_base, subj, psubj, pred_value, graph, self._unique_key(tm)
+            )
         if not all(
             self._is_simple_ref(jc.child_ref, ls)
             and self._is_simple_ref(jc.parent_ref, pls)
@@ -831,17 +912,31 @@ class MappingCompiler:
         for i, cc in enumerate(ccols):
             c = child_n[cc] == parent_n[f"__pk{i}"]
             on = c if on is None else (on & c)
-        pairs = (
-            child_n.join(parent_n, on, "inner")
-            .select(*[child_n[c] for c in (subj.refs or ())], parent_n["__psubj"])
-            .dropDuplicates(list(subj.refs or ()) + ["__psubj"])
+        pairs = child_n.join(parent_n, on, "inner").select(
+            *[child_n[c] for c in (subj.refs or ())], parent_n["__psubj"]
         )
+        ukey = self._unique_key(tm)
+        if (
+            subj.injective
+            and ukey is not None
+            and set(ukey) <= set(subj.refs or ())
+        ):
+            # child rows unique on the key, the deduped parent side
+            # contributes distinct __psubj values per key match, and
+            # the injective child subject covers the key: join output
+            # pairs are distinct by construction — no dedup shuffle
+            pass
+        elif subj.injective:
+            # equal (child refs, parent subj) <=> equal (subj, obj):
+            # dedup the narrow join projection
+            pairs = pairs.dropDuplicates(list(subj.refs or ()) + ["__psubj"])
         built = pairs.select(
             subj.col.alias("subj"), F.col("__psubj").alias("obj")
         )
         if subj.defined is None:
             built = built.where(F.col("subj").isNotNull())
         if not subj.injective:
+            # one term-level dedup instead of narrow + term double shuffle
             built = built.dropDuplicates(["subj", "obj"])
         return _PredBranch(pred_value, graph, built, distinct=True)
 
@@ -1043,26 +1138,29 @@ class MappingCompiler:
         term = terms.term_col(
             value, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
         )
-        # Injectivity: with >1 group, separator ambiguity ("a"+"xb" vs
-        # "ax"+"b") and the null/'' conflation make expansion
-        # many-to-one. A single group over a control-free lexical type
-        # (numeric/date) is unambiguous: its rendering contains no
-        # character the reserved-char encoding skips, the IRI
-        # strip/trim deletes, or the literal cleaner squeezes — string
-        # groups can collide through exactly those chains (e.g.
-        # 'a\\tb' vs 'ab' under the \\t strip), so they keep the
-        # post-construction dedup.
-        injective = (
-            len(cols) == 1
-            and _control_free_lexical(self._field_type(df, cols[0]))
-            and (
-                member_tt == terms.TERM_IRI
-                or (
-                    member_tt == terms.TERM_LITERAL
-                    and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
-                )
-            )
+        # Injectivity: string groups can collide through the encoding
+        # chains (C0 strip, underscore squeeze — property-tested in
+        # tests/test_encoding_properties.py), so only control-free
+        # lexical types qualify. A single such group is unambiguous;
+        # multiple groups additionally need digit-alphabet renderings
+        # with parse-unambiguous separators ("a"+"xb" vs "ax"+"b"),
+        # e.g. line/{l_orderkey}/{l_linenumber} over bigint columns.
+        tt_ok = member_tt == terms.TERM_IRI or (
+            member_tt == terms.TERM_LITERAL
+            and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
         )
+        if len(cols) == 1:
+            injective = tt_ok and _control_free_lexical(
+                self._field_type(df, cols[0])
+            )
+        else:
+            injective = (
+                tt_ok
+                and all(
+                    _digit_lexical(self._field_type(df, c)) for c in cols
+                )
+                and _separators_unambiguous(template_parts(term_map.template))
+            )
         return _TermExpr(
             F.when(~all_empty, term), is_array=False, refs=tuple(cols),
             defined=~all_empty, injective=injective,

@@ -109,7 +109,9 @@ NATION_TTL = """\
 
 
 def q_xr2rml_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog = SourceCatalog(spark).register("nation", _load(spark, sf_dir, "nation"))
+    catalog = SourceCatalog(spark).register(
+        "nation", _load(spark, sf_dir, "nation"), unique_key=["n_nationkey"]
+    )
     return MappingCompiler(spark, parse_mapping(NATION_TTL), catalog).triples()
 
 
@@ -168,8 +170,8 @@ ORDERS_TTL = """\
 def q_xr2rml_refobjectmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = (
         SourceCatalog(spark)
-        .register("customer", _load(spark, sf_dir, "customer"))
-        .register("orders", _load(spark, sf_dir, "orders"))
+        .register("customer", _load(spark, sf_dir, "customer"), unique_key=["c_custkey"])
+        .register("orders", _load(spark, sf_dir, "orders"), unique_key=["o_orderkey"])
     )
     return MappingCompiler(spark, parse_mapping(ORDERS_TTL), catalog).triples()
 
@@ -215,7 +217,9 @@ EVENTS_TTL = """\
 
 
 def q_xr2rml_mixed_path(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog = SourceCatalog(spark).register("events", _load(spark, sf_dir, "events"))
+    catalog = SourceCatalog(spark).register(
+        "events", _load(spark, sf_dir, "events"), unique_key=["event_id"]
+    )
     return MappingCompiler(spark, parse_mapping(EVENTS_TTL), catalog).triples()
 
 
@@ -269,7 +273,9 @@ LINEITEM_LIST_TTL = """\
 def q_xr2rml_rdf_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog = (
         SourceCatalog(spark)
-        .register("orders", _load(spark, sf_dir, "orders"))
+        .register("orders", _load(spark, sf_dir, "orders"), unique_key=["o_orderkey"])
+        # the synthetic lineitem is NOT unique on (l_orderkey,
+        # l_linenumber) (unlike real TPC-H) — no hint, dedup stays
         .register("lineitem", _load(spark, sf_dir, "lineitem"))
     )
     return MappingCompiler(spark, parse_mapping(LINEITEM_LIST_TTL), catalog).triples()
@@ -1524,7 +1530,9 @@ SELECT ?g ?n ?v WHERE { GRAPH ?g { ?n ?p ?v } }
 
 
 def q_sparql_graph_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog = SourceCatalog(spark).register("nation", _load(spark, sf_dir, "nation"))
+    catalog = SourceCatalog(spark).register(
+        "nation", _load(spark, sf_dir, "nation"), unique_key=["n_nationkey"]
+    )
     quads = MappingCompiler(spark, parse_mapping(NATION_GRAPHS_TTL), catalog).quads()
     return sparql_select(quads, SPARQL_GRAPH_QUADS)
 
@@ -1574,7 +1582,9 @@ SELECT ?ord ?ck WHERE {
 
 
 def q_sparql_in_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    catalog = SourceCatalog(spark).register("orders", _load(spark, sf_dir, "orders"))
+    catalog = SourceCatalog(spark).register(
+        "orders", _load(spark, sf_dir, "orders"), unique_key=["o_orderkey"]
+    )
     trip = MappingCompiler(spark, parse_mapping(ORDERS_FILTER_TTL), catalog).triples()
     return sparql_select(trip, SPARQL_IN_CAST)
 

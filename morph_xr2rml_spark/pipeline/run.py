@@ -91,11 +91,16 @@ def emit_triples(
     mentions_df: DataFrame,
     entities_df: DataFrame,
 ) -> DataFrame:
+    # pages is one row per page_id (the synthesized Common-Crawl-style
+    # table's key, i.e. an RDB primary key); entities is the groupBy
+    # output keyed on entity_id. mentions is NOT unique on
+    # (page_id, entity_id) — two surfaces on a page can link to the
+    # same entity — so it carries no hint and keeps its dedups.
     catalog = (
         SourceCatalog(spark)
-        .register("pages", pages_df)
+        .register("pages", pages_df, unique_key=["page_id"])
         .register("mentions", mentions_df)
-        .register("entities", entities_df)
+        .register("entities", entities_df, unique_key=["entity_id"])
     )
     doc = parse_mapping(KG_MAPPING_TTL)
     compiler = MappingCompiler(spark, doc, catalog, CompileOptions())

@@ -61,6 +61,12 @@ class SourceCatalog:
     ``doc_columns`` name -> column holding the JSON/XML document
                     (default: the single column of a 1-column source, else
                     the whole row serialized with ``to_json(struct(*))``).
+    ``unique_keys`` name -> column tuple the rows are unique on — the
+                    Spark-side stand-in for the RDB primary-key /
+                    unique-constraint metadata a JDBC source exposes.
+                    The compiler uses it to prove per-row distinctness
+                    of emitted triples and elide set-dedup shuffles
+                    entirely (S8); the caller asserts its truth.
     """
 
     def __init__(
@@ -72,11 +78,20 @@ class SourceCatalog:
         self.spark = spark
         self.tables = dict(tables or {})
         self.doc_columns = dict(doc_columns or {})
+        self.unique_keys: dict[str, tuple[str, ...]] = {}
 
-    def register(self, name: str, df: DataFrame, doc_column: str | None = None):
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        doc_column: str | None = None,
+        unique_key: list[str] | tuple[str, ...] | None = None,
+    ):
         self.tables[name] = df
         if doc_column:
             self.doc_columns[name] = doc_column
+        if unique_key:
+            self.unique_keys[name] = tuple(unique_key)
         return self
 
     def _table(self, name: str) -> DataFrame:

@@ -32,20 +32,22 @@ PREFIX = """\
 """
 
 
-def _triples(spark, ttl, tables, dedup=True):
+def _triples(spark, ttl, tables, dedup=True, unique_keys=None):
     catalog = SourceCatalog(spark)
     for name, df in tables.items():
-        catalog.register(name, df)
+        catalog.register(name, df, unique_key=(unique_keys or {}).get(name))
     c = MappingCompiler(
         spark, parse_mapping(ttl), catalog, CompileOptions(dedup=dedup)
     )
     return c
 
 
-def _routed_equals_pool(spark, ttl, tables, view="triples"):
+def _routed_equals_pool(spark, ttl, tables, view="triples", unique_keys=None):
     """The dedup=True (routed) output must equal dropDuplicates over the
     dedup=False (raw union) output."""
-    routed = getattr(_triples(spark, ttl, tables, dedup=True), view)()
+    routed = getattr(
+        _triples(spark, ttl, tables, dedup=True, unique_keys=unique_keys), view
+    )()
     raw = getattr(_triples(spark, ttl, tables, dedup=False), view)()
     expected = raw.dropDuplicates(routed.columns)
     got = sorted(map(tuple, routed.collect()))
@@ -214,6 +216,111 @@ def test_underscore_squeeze_in_string_literal(spark):
 """
     got = _routed_equals_pool(spark, ttl, {"t": df})
     assert len(got) == 1
+
+
+def test_unique_key_elides_all_dedup_shuffles(spark):
+    """With a primary-key hint and an injective subject covering it,
+    per-row branches are duplicate-free by construction: the plan has
+    no dedup at all, and the output still equals the pooled dedup."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None)], "id int, v string"
+    )
+    ttl = PREFIX + """
+<#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/s/{id}"; rr:class ex:T ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:column "v" ] ] .
+"""
+    uk = {"t": ["id"]}
+    got = _routed_equals_pool(spark, ttl, {"t": df}, unique_keys=uk)
+    assert len(got) == 5  # 3 rdf:type + 2 ex:v (null v drops)
+    plan = (
+        _triples(spark, ttl, {"t": df}, unique_keys=uk)
+        .triples()
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Deduplicate" not in plan and "Aggregate" not in plan
+
+
+def test_unique_key_noninjective_subject_keeps_dedup(spark):
+    # rows ARE unique on k, but the string-typed template can collide
+    # ('a\tb' vs 'ab' under the C0 strip) — the dedup must survive the
+    # hint and emit one triple
+    df = spark.createDataFrame([("a\tb",), ("ab",)], "k string")
+    ttl = PREFIX + """
+<#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/s/{k}" ];
+  rr:predicateObjectMap [ rr:predicate ex:c; rr:objectMap [ rr:constant ex:k ] ] .
+"""
+    got = _routed_equals_pool(spark, ttl, {"t": df}, unique_keys={"t": ["k"]})
+    assert len(got) == 1
+
+
+def test_multigroup_digit_template_injective(spark):
+    # '/'-separated digit groups parse back uniquely: (1,23) and (12,3)
+    # stay distinct, the composite-key hint elides the dedup
+    df = spark.createDataFrame(
+        [(1, 23, "a"), (12, 3, "a"), (1, 24, "b")], "oid int, line int, v string"
+    )
+    ttl = PREFIX + """
+<#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/s/{oid}/{line}" ];
+  rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:column "v" ] ] .
+"""
+    uk = {"t": ["oid", "line"]}
+    got = _routed_equals_pool(spark, ttl, {"t": df}, unique_keys=uk)
+    assert len(got) == 3
+    plan = (
+        _triples(spark, ttl, {"t": df}, unique_keys=uk)
+        .triples()
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Deduplicate" not in plan and "Aggregate" not in plan
+
+
+def test_adjacent_digit_groups_stay_deduped(spark):
+    # '{a}{b}' with no separator is ambiguous ('1'+'23' == '12'+'3'):
+    # the branch keeps its dedup and collapses the collision
+    df = spark.createDataFrame([(1, 23), (12, 3)], "a int, b int")
+    ttl = PREFIX + """
+<#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/s/{a}{b}" ];
+  rr:predicateObjectMap [ rr:predicate ex:c; rr:objectMap [ rr:constant ex:k ] ] .
+"""
+    got = _routed_equals_pool(spark, ttl, {"t": df}, unique_keys={"t": ["a", "b"]})
+    assert len(got) == 1
+
+
+def test_unique_key_elides_rom_join_dedup(spark):
+    # child rows unique on cid and injective child subject: the
+    # RefObjectMap join output needs no dedup; duplicate parent keys
+    # still produce every distinct pair
+    child = spark.createDataFrame([(1, 10), (2, 10), (3, 99)], "cid int, fk int")
+    parent = spark.createDataFrame(
+        [(10, "p"), (10, "p"), (20, "q")], "pid int, label string"
+    )
+    ttl = PREFIX + """
+<#P> xrr:logicalSource [ rr:tableName "parent"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/p/{pid}" ] .
+<#C> xrr:logicalSource [ rr:tableName "child"; xrr:referenceFormulation xrr:Column ];
+  rr:subjectMap [ rr:template "http://example.org/c/{cid}" ];
+  rr:predicateObjectMap [
+      rr:predicate ex:ref;
+      rr:objectMap [ rr:parentTriplesMap <#P>;
+                     rr:joinCondition [ rr:child "fk"; rr:parent "pid" ] ] ] .
+"""
+    got = _routed_equals_pool(
+        spark, ttl, {"child": child, "parent": parent},
+        unique_keys={"child": ["cid"]},
+    )
+    ref_triples = [(s, o) for s, p, o in got if p == "<http://example.org/ref>"]
+    assert sorted(ref_triples) == [
+        ("<http://example.org/c/1>", "<http://example.org/p/10>"),
+        ("<http://example.org/c/2>", "<http://example.org/p/10>"),
+    ]
 
 
 def test_keyed_plan_shape(spark):
