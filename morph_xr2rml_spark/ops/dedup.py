@@ -247,7 +247,12 @@ def minhash_lsh_pairs(
     MinHash estimate of Jaccard). Everything is equi-join + groupBy —
     no cross product anywhere.
     """
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    from ..plans.caching import cache
+
+    # the banded table self-joins below: without a materialization
+    # barrier the signature pipeline (Arrow shingler + explode +
+    # num_hashes min-aggregates) executes once per join side
+    sig = cache(minhash_signatures(df, text_col, id_col, k, num_hashes))
     n_bands = num_hashes // rows_per_band
     band_keys = F.array(
         *[
@@ -351,7 +356,11 @@ def simhash_pairs(
     """
     if max_hamming >= _SIMHASH_CHUNKS:
         raise ValueError("chunk banding requires max_hamming < 4")
-    sh = simhash(df, text_col, id_col)
+    from ..plans.caching import cache
+
+    # self-joined below — persist so the 60-aggregate sketch groupBy
+    # runs once, not once per join side
+    sh = cache(simhash(df, text_col, id_col))
     mask = (1 << _CHUNK_BITS) - 1
     chunk_keys = F.array(
         *[

@@ -93,22 +93,62 @@ def _hyperplane(table: int, bit: int, dim: int) -> list[float]:
     return out
 
 
-def _bucket_col(vec: Column, table: int, bits: int, dim: int) -> Column:
-    """Sign-bit bucket id for one hash table."""
-    parts = [F.lit(str(table))]
-    for bit in range(bits):
-        hp = _hyperplane(table, bit, dim)
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in hp]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def _buckets_udf(tables: int, bits: int, dim: int):
+    """Arrow-batched sign-bit bucketizer: every vector is scored
+    against all tables x bits hyperplanes with an explicit
+    dimension-order accumulation loop — each dot is the same
+    0.0-seeded left fold the DuckDB oracle's list_reduce computes, so
+    bucket strings reproduce bit-for-bit. Vectorized across the batch
+    (one numpy op per dimension per hyperplane), no per-row Python.
+
+    An expression-level scorer is wrong both ways here (as in the IVF
+    codebook scorer): unrolling tables x bits x dim literal terms OOMs
+    Janino codegen, and array-literal HOF folds are
+    interpreter-evaluated per element (~6x this path)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    hps = [
+        [_hyperplane(t, b, dim) for b in range(bits)] for t in range(tables)
+    ]
+
+    def bucketize(vs):  # pd.Series -> pd.Series
+        vals = vs.tolist()
+        mask = [v is not None and len(v) == dim for v in vals]
+        if not any(mask):
+            return pd.Series([[] for _ in vals])
+        V = np.array(
+            [v if m else [0.0] * dim for v, m in zip(vals, mask)],
+            dtype=np.float64,
         )
-        parts.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat_ws(":", *parts)
+        n = V.shape[0]
+        per_table: list[list[str]] = []
+        for t in range(tables):
+            bitcols = []
+            for b in range(bits):
+                hp = hps[t][b]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):  # dimension-order left fold per row
+                    acc = acc + V[:, d] * hp[d]
+                bitcols.append(acc > 0)
+            prefix = f"{t}:"
+            per_table.append(
+                [
+                    prefix
+                    + ":".join("1" if bc[i] else "0" for bc in bitcols)
+                    for i in range(n)
+                ]
+            )
+        return pd.Series(
+            [
+                [per_table[t][i] for t in range(tables)] if m else []
+                for i, m in enumerate(mask)
+            ]
+        )
+
+    return pandas_udf(bucketize, T.ArrayType(T.StringType()))
 
 
 def lsh_buckets(
@@ -120,11 +160,9 @@ def lsh_buckets(
     dim: int = 64,
 ) -> DataFrame:
     """(id, vec, bucket) with one row per hash table."""
-    buckets = F.array(
-        *[_bucket_col(F.col(vec_col), t, bits, dim) for t in range(tables)]
-    )
+    udf = _buckets_udf(tables, bits, dim)
     return df.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
+        F.col(id_col), F.col(vec_col), F.explode(udf(F.col(vec_col))).alias("bucket")
     )
 
 
@@ -147,8 +185,12 @@ def lsh_ann_topk(
     qb = lsh_buckets(queries, vec_col, id_col, tables, bits, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
+    # the query bucket table is |Q| x tables rows — broadcast it
+    # explicitly (size estimation over the unrolled bucket projection
+    # is unreliable, and at scale the corpus side must never be the
+    # built side)
     cand = (
-        qb.join(cb, "bucket")
+        cb.join(F.broadcast(qb), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
