@@ -1597,6 +1597,42 @@ WHERE o_orderstatus IN ('O', 'F') AND o_custkey * 2 + 5 >= 205
 """
 
 
+# SPARQL 1.1 group-pattern breadth beyond the reference's algebra:
+# VALUES inline data (broadcast join), BIND computed variable,
+# FILTER NOT EXISTS anti-join — one entry pinning all three against an
+# independent SQL rendering.
+
+SPARQL_BIND_VALUES_EXISTS = """
+PREFIX ex: <http://example.org/ontology#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?ord ?ck2 WHERE {
+    ?ord ex:status ?st .
+    ?ord ex:custkey ?ck .
+    VALUES ?st { "O" "F" }
+    BIND(xsd:integer(?ck) * 3 + 1 AS ?ck2)
+    FILTER NOT EXISTS { ?ord ex:status "F" }
+}
+"""
+
+
+def q_sparql_bind_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    catalog = SourceCatalog(spark).register(
+        "orders", _load(spark, sf_dir, "orders"), unique_key=["o_orderkey"]
+    )
+    trip = MappingCompiler(spark, parse_mapping(ORDERS_FILTER_TTL), catalog).triples()
+    return sparql_select(trip, SPARQL_BIND_VALUES_EXISTS)
+
+
+# statuses are one-per-order, so VALUES {O,F} minus NOT-EXISTS(F) = O;
+# BIND's xsd:integer cast yields a double column on both engines
+SQL_SPARQL_BIND_VALUES = f"""
+SELECT '<{EX}order/' || o_orderkey || '>' AS ord,
+       CAST(o_custkey * 3 + 1 AS DOUBLE) AS ck2
+FROM orders
+WHERE o_orderstatus = 'O'
+"""
+
+
 SPARQL_CONSTRUCT_INVERSE = """
 PREFIX ex: <http://example.org/ontology#>
 CONSTRUCT { ?cust ex:hasOrder ?ord . ?cust a ex:Buyer }
@@ -1673,6 +1709,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_optional_filter": (q_sparql_optional_filter, SQL_SPARQL_OPTIONAL_FILTER),
     "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),
     "sparql_in_cast": (q_sparql_in_cast, SQL_SPARQL_IN_CAST),
+    "sparql_bind_values_exists": (q_sparql_bind_values, SQL_SPARQL_BIND_VALUES),
     "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),

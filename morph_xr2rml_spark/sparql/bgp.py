@@ -21,12 +21,15 @@ Catalyst then does join reordering, predicate pushdown, and broadcast
 selection — replacing the reference's hand-written optimizer rewrites
 (SURVEY §4.1).
 
-Supported SPARQL subset (enough for every query shape the reference's
-abstract algebra models): PREFIX, SELECT [DISTINCT] ?v... | *, basic
-graph patterns, GRAPH <g>/{?g} groups over a quad table, OPTIONAL
-{ ... }, UNION of group graph patterns, FILTER with =, !=, <, <=, >,
->=, BOUND, !, &&, ||, REGEX, IN / NOT IN, xsd:integer/double/... casts,
-STR, arithmetic (+ - * /), ORDER BY [ASC|DESC], LIMIT, OFFSET.
+Supported SPARQL subset (a superset of every query shape the
+reference's abstract algebra models): PREFIX, SELECT [DISTINCT]
+?v... | *, basic graph patterns, GRAPH <g>/{?g} groups over a quad
+table, OPTIONAL { ... }, UNION of group graph patterns, FILTER with
+=, !=, <, <=, >, >=, BOUND, !, &&, ||, REGEX, IN / NOT IN,
+xsd:integer/double/... casts, STR, arithmetic (+ - * /),
+FILTER [NOT] EXISTS { ... } (semi/anti join), BIND(expr AS ?v),
+VALUES ?v { ... } / VALUES (?a ?b) { (..) } (broadcast inline data;
+UNDEF joins as NULL), ORDER BY [ASC|DESC], LIMIT, OFFSET.
 
 Value semantics: positions hold N-Triples lexical forms (`<iri>`,
 `"lit"`, `"lit"^^<dt>`, `"3"^^xsd:integer`); FILTER comparisons are on
@@ -42,6 +45,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # query model
@@ -65,13 +69,21 @@ class Filter:
 @dataclass
 class Group:
     """A group graph pattern: required patterns, optional sub-groups,
-    filters, union branches, GRAPH sub-groups."""
+    filters, union branches, GRAPH sub-groups, BIND assignments,
+    VALUES inline data, FILTER [NOT] EXISTS sub-groups."""
 
     patterns: list[TriplePattern] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     filters: list[Filter] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)
     graphs: list[tuple[Term, "Group"]] = field(default_factory=list)
+    binds: list[tuple[object, str]] = field(default_factory=list)  # (expr, var)
+    values: list[tuple[list[str], list[list[str | None]]]] = field(
+        default_factory=list
+    )  # (vars, rows); None = UNDEF
+    exists: list[tuple[bool, "Group"]] = field(
+        default_factory=list
+    )  # (positive, sub-group)
 
 
 @dataclass
@@ -260,7 +272,16 @@ def _split_blocks(src: str) -> list[tuple[str, str]]:
 
     while i < n:
         mopt = re.match(r"\s*OPTIONAL\s*\{", src[i:], re.IGNORECASE)
+        mfex = re.match(
+            r"\s*FILTER\s+(NOT\s+)?EXISTS\s*\{", src[i:], re.IGNORECASE
+        )
         mfil = re.match(r"\s*FILTER\s*\(", src[i:], re.IGNORECASE)
+        mbind = re.match(r"\s*BIND\s*\(", src[i:], re.IGNORECASE)
+        mvals = re.match(
+            r"\s*VALUES\s+(\?\w+|\((?:\s*\?\w+)+\s*\))\s*\{",
+            src[i:],
+            re.IGNORECASE,
+        )
         mgra = re.match(
             r"\s*GRAPH\s+(\?\w+|<[^<>\s]*>|\w+:[\w.%-]*)\s*\{",
             src[i:],
@@ -271,6 +292,25 @@ def _split_blocks(src: str) -> list[tuple[str, str]]:
             flush()
             j = _match_brace(src, i + mopt.end() - 1)
             blocks.append(("optional", src[i + mopt.end() : j]))
+            i = j + 1
+        elif mfex:
+            flush()
+            j = _match_brace(src, i + mfex.end() - 1)
+            blocks.append(
+                ("exists", (mfex.group(1) is None, src[i + mfex.end() : j]))
+            )
+            i = j + 1
+        elif mbind:
+            flush()
+            j = _match_paren(src, i + mbind.end() - 1)
+            blocks.append(("bind", src[i + mbind.end() : j]))
+            i = j + 1
+        elif mvals:
+            flush()
+            j = _match_brace(src, i + mvals.end() - 1)
+            blocks.append(
+                ("values", (mvals.group(1), src[i + mvals.end() : j]))
+            )
             i = j + 1
         elif mgra:
             flush()
@@ -352,7 +392,89 @@ def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
         elif kind == "graph":
             gterm, body = chunk
             g.graphs.append((_expand(gterm, prefixes), _parse_group(body, prefixes)))
+        elif kind == "bind":
+            g.binds.append(_parse_bind(chunk, prefixes))
+        elif kind == "values":
+            var_spec, body = chunk
+            g.values.append(_parse_values(var_spec, body, prefixes))
+        elif kind == "exists":
+            positive, body = chunk
+            g.exists.append((positive, _parse_group(body, prefixes)))
     return g
+
+
+_BIND_RE = re.compile(r"^(?P<expr>.*\S)\s+AS\s+\?(?P<var>\w+)\s*$", re.DOTALL)
+
+
+def _parse_bind(src: str, prefixes: dict[str, str]) -> tuple[object, str]:
+    """BIND(expr AS ?v): the expr reuses the FILTER value grammar."""
+    m = _BIND_RE.match(src.strip())
+    if not m:
+        raise ValueError(f"cannot parse BIND: {src!r}")
+    p = _FilterParser(m.group("expr"), prefixes)
+    node = p.or_expr()
+    if p._peek() is not None:
+        raise ValueError(f"unsupported BIND expression tail: {src!r}")
+    return node, m.group("var")
+
+
+_XSD_INT_DT = "http://www.w3.org/2001/XMLSchema#integer"
+_XSD_DEC_DT = "http://www.w3.org/2001/XMLSchema#decimal"
+
+# VALUES-specific tokenizer: parens are always standalone tokens (the
+# generic _TOKEN_RE's \S+ fallback would glue 'UNDEF)' together)
+_VALUES_TOKEN_RE = re.compile(
+    r"""<[^>]*>
+      | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?
+      | [()]
+      | [^\s()]+
+    """,
+    re.VERBOSE,
+)
+
+
+def _parse_values(
+    var_spec: str, body: str, prefixes: dict[str, str]
+) -> tuple[list[str], list[list[str | None]]]:
+    """VALUES ?v { t... } | VALUES (?a ?b) { (x y) ... } — terms are
+    N-Triples-encoded like every engine term; bare numbers become typed
+    literals; UNDEF becomes NULL."""
+    variables = re.findall(r"\?(\w+)", var_spec)
+
+    def term(tok: str) -> str | None:
+        if tok.upper() == "UNDEF":
+            return None
+        if re.match(r"^[-+]?\d+$", tok):
+            return f'"{tok}"^^<{_XSD_INT_DT}>'
+        if re.match(r"^[-+]?\d+\.\d+$", tok):
+            return f'"{tok}"^^<{_XSD_DEC_DT}>'
+        return _expand(tok, prefixes)
+
+    toks = [t for t in _VALUES_TOKEN_RE.findall(body) if t.strip()]
+    rows: list[list[str | None]] = []
+    if len(variables) == 1:
+        rows = [[term(t)] for t in toks if t not in "()"]
+        return variables, rows
+    cur: list[str | None] | None = None
+    for t in toks:
+        if t == "(":
+            if cur is not None:
+                raise ValueError(f"nested '(' in VALUES rows: {body!r}")
+            cur = []
+        elif t == ")":
+            if cur is None or len(cur) != len(variables):
+                raise ValueError(
+                    f"VALUES row arity mismatch (want {len(variables)}): {body!r}"
+                )
+            rows.append(cur)
+            cur = None
+        else:
+            if cur is None:
+                raise ValueError(f"VALUES term outside a row tuple: {t!r}")
+            cur.append(term(t))
+    if cur is not None:
+        raise ValueError(f"unterminated VALUES row: {body!r}")
+    return variables, rows
 
 
 def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
@@ -646,6 +768,18 @@ def _join_bindings(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
     return left.crossJoin(right)
 
 
+def _values_df(
+    triples: DataFrame, vals: tuple[list[str], list[list[str | None]]]
+) -> DataFrame:
+    variables, rows = vals
+    spark = triples.sparkSession
+    schema = T.StructType(
+        [T.StructField(v, T.StringType(), True) for v in variables]
+    )
+    # inline data is tiny by construction — broadcast it into the join
+    return F.broadcast(spark.createDataFrame(rows, schema))
+
+
 def _group_df(
     triples: DataFrame, g: Group, graph: Term | None = None
 ) -> DataFrame:
@@ -655,13 +789,27 @@ def _group_df(
     for branches in g.unions:
         branch_dfs = [_group_df(triples, b, graph) for b in branches]
         parts.append(functools.reduce(DataFrame.unionByName, branch_dfs))
+    parts.extend(_values_df(triples, vals) for vals in g.values)
     if not parts:
         raise ValueError("empty group graph pattern")
     df = functools.reduce(lambda a, b: _join_bindings(a, b, "inner"), parts)
     for opt in g.optionals:
         df = _join_bindings(df, _group_df(triples, opt, graph), "left")
+    for node, var in g.binds:
+        df = df.withColumn(var, _bind_col(node, df))
     for f in g.filters:
         df = df.where(_filter_col(f.expr, df))
+    for positive, sub in g.exists:
+        sdf = _group_df(triples, sub, graph)
+        shared = [c for c in df.columns if c in sdf.columns]
+        how = "left_semi" if positive else "left_anti"
+        if shared:
+            df = df.join(
+                sdf.select(*shared).dropDuplicates(), on=shared, how=how
+            )
+        else:
+            # no shared variables: EXISTS is a global emptiness test
+            df = df.join(sdf.limit(1), F.lit(True), how)
     return df
 
 
@@ -774,6 +922,15 @@ def _filter_col(node: FilterNode, df: DataFrame) -> Column:
         ">": lval > rval,
         ">=": lval >= rval,
     }[op]
+
+
+def _bind_col(node, df: DataFrame) -> Column:
+    """BIND expression -> Column: boolean expressions go through the
+    FILTER compiler, value expressions through the operand compiler."""
+    if isinstance(node, FilterNode) and node.op in _BOOL_OPS:
+        return _filter_col(node, df)
+    col, _kind = _filter_operand(node, df)
+    return col
 
 
 def _agg_col(agg: Aggregate) -> Column:

@@ -419,3 +419,93 @@ def test_sparql_endpoint(spark, triples):
             assert e.code == 400
     finally:
         ep.stop()
+
+
+def test_bind_expression(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x ?a2 WHERE {
+            ?x ex:age ?a . BIND(xsd:integer(?a) * 2 + 1 AS ?a2)
+            FILTER (?a2 > 40) }""",
+    )
+    assert rows(out) == {(f"<{EX}p/1>", 61.0)}
+
+
+def test_bind_str(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n WHERE { ?x ex:name ?raw . BIND(STR(?raw) AS ?n) }""",
+    )
+    assert rows(out) == {
+        (f"<{EX}p/1>", "alice"),
+        (f"<{EX}p/2>", "bob"),
+        (f"<{EX}p/3>", "carol"),
+    }
+
+
+def test_values_single_var(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n WHERE {
+            ?x ex:name ?n . VALUES ?n { "alice" "carol" } }""",
+    )
+    assert rows(out) == {(f"<{EX}p/1>", '"alice"'), (f"<{EX}p/3>", '"carol"')}
+
+
+def test_values_multi_var_undef(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n ?tag WHERE {
+            ?x ex:name ?n .
+            VALUES (?x ?tag) { (<http://example.org/p/1> "first")
+                               (<http://example.org/p/3> UNDEF) } }""",
+    )
+    assert rows(out) == {
+        (f"<{EX}p/1>", '"alice"', '"first"'),
+        (f"<{EX}p/3>", '"carol"', None),
+    }
+
+
+def test_values_numeric_literal(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x WHERE { ?x ex:age ?a . VALUES ?a { 30 } }""",
+    )
+    assert rows(out) == {(f"<{EX}p/1>",)}
+
+
+def test_filter_exists(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x WHERE { ?x ex:name ?n .
+            FILTER EXISTS { ?x ex:age ?a } }""",
+    )
+    assert rows(out) == {(f"<{EX}p/1>",), (f"<{EX}p/2>",)}
+
+
+def test_filter_not_exists(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x WHERE { ?x ex:name ?n .
+            FILTER NOT EXISTS { ?x ex:age ?a } }""",
+    )
+    assert rows(out) == {(f"<{EX}p/3>",)}
+
+
+def test_filter_not_exists_with_constant(triples):
+    # anti-join against a sub-pattern with a constant object
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x WHERE { ?x a ex:Person .
+            FILTER NOT EXISTS { ?x ex:knows <http://example.org/p/2> } }""",
+    )
+    assert rows(out) == {(f"<{EX}p/2>",)}
