@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import encoding as _encoding
 from ..functions import terms
 from ..functions.encoding import encode_reserved_chars_col
 from ..functions.paths import MixedSyntaxPath
@@ -1118,10 +1119,43 @@ class MappingCompiler:
             else F.lit(False)
         )
 
+        # Chain elision: when every group renders from the digit
+        # alphabet [0-9-] (invariant under every encoding chain — no
+        # chain source char is a digit or '-') and every literal part
+        # is a fixed point of the python reference chain, the whole
+        # runtime encode pipeline (trim + ~28 char-class replaces) is
+        # an identity and is skipped — both a codegen-size and a
+        # per-row win on the hottest expression in the engine.
+        # Verified per-part against the SAME python functions the
+        # column chain mirrors, so the two can't drift apart.
+        all_digit = all(
+            _digit_lexical(self._field_type(df, c)) for c in cols
+        )
+        literal_parts = [
+            p for p in template_parts(term_map.template) if isinstance(p, str)
+        ]
+        if member_tt == terms.TERM_IRI:
+            chain_free = all_digit and all(
+                p
+                and min(p) > "\x20"
+                and _encoding.encode_url(p) == p
+                for p in literal_parts
+            )
+        elif member_tt == terms.TERM_BLANKNODE:
+            chain_free = all_digit and all(
+                _encoding.encode_url(p) == p for p in literal_parts
+            )
+        else:
+            chain_free = False
+
         group_values: list[Column] = []
         for c, empty in zip(cols, group_empty):
             v = terms.lex_value_col(F.col(c), self._field_type(df, c))
-            if member_tt == terms.TERM_IRI and self.options.encode_unsafe_chars_in_db_values:
+            if (
+                member_tt == terms.TERM_IRI
+                and self.options.encode_unsafe_chars_in_db_values
+                and not chain_free
+            ):
                 v = encode_reserved_chars_col(v)
             group_values.append(F.when(empty, F.lit("")).otherwise(v))
 
@@ -1135,9 +1169,18 @@ class MappingCompiler:
         if member_tt == terms.TERM_LITERAL and datatype is None and language is None:
             # template output is a string; no runtime type to infer
             pass
-        term = terms.term_col(
-            value, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
-        )
+        if chain_free and member_tt == terms.TERM_IRI:
+            term = F.concat(F.lit("<"), value, F.lit(">"))
+        elif chain_free and member_tt == terms.TERM_BLANKNODE:
+            term = F.concat(F.lit("_:"), value)
+        else:
+            term = terms.term_col(
+                value,
+                member_tt,
+                datatype,
+                language,
+                self.options.encode_unsafe_chars_in_uri,
+            )
         # Injectivity: string groups can collide through the encoding
         # chains (C0 strip, underscore squeeze — property-tested in
         # tests/test_encoding_properties.py), so only control-free

@@ -1633,6 +1633,46 @@ WHERE o_orderstatus = 'O'
 """
 
 
+# ASK -> LIMIT-1 existence (O3). The contract shape is one boolean row
+# so the driver can hash it; two probes: one satisfiable, one not.
+
+
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql.results import ask
+
+    catalog = SourceCatalog(spark).register(
+        "orders", _load(spark, sf_dir, "orders"), unique_key=["o_orderkey"]
+    )
+    trip = MappingCompiler(spark, parse_mapping(ORDERS_FILTER_TTL), catalog).triples()
+    hit = ask(
+        sparql_select(
+            trip,
+            'PREFIX ex: <http://example.org/ontology#>\n'
+            'SELECT ?o WHERE { ?o ex:status "O" }',
+        )
+    )
+    miss = ask(
+        sparql_select(
+            trip,
+            'PREFIX ex: <http://example.org/ontology#>\n'
+            'SELECT ?o WHERE { ?o ex:status "ZZ" }',
+        )
+    )
+    return spark.createDataFrame(
+        [("has_open_order", hit), ("has_zz_status", miss)],
+        "probe string, answer boolean",
+    )
+
+
+SQL_SPARQL_ASK = """
+SELECT 'has_open_order' AS probe,
+       EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'O') AS answer
+UNION ALL
+SELECT 'has_zz_status',
+       EXISTS (SELECT 1 FROM orders WHERE o_orderstatus = 'ZZ')
+"""
+
+
 SPARQL_CONSTRUCT_INVERSE = """
 PREFIX ex: <http://example.org/ontology#>
 CONSTRUCT { ?cust ex:hasOrder ?ord . ?cust a ex:Buyer }
@@ -1710,6 +1750,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),
     "sparql_in_cast": (q_sparql_in_cast, SQL_SPARQL_IN_CAST),
     "sparql_bind_values_exists": (q_sparql_bind_values, SQL_SPARQL_BIND_VALUES),
+    "sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
     "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
