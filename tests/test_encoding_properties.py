@@ -86,3 +86,72 @@ def test_reserved_encoding_boundary(v):
 def test_normalizers_idempotent(v):
     for fn in (E.normalize_datetime, E.normalize_boolean, E.encode_uri):
         assert fn(fn(v)) == fn(v)
+
+
+# ---------------------------------------------------------------------------
+# multi-group digit-template injectivity (compiler/compile.py
+# _separators_unambiguous): the concatenation of digit renderings and
+# safe separators must parse back uniquely — property-checked by
+# round-tripping random integer tuples through a random safe template.
+# ---------------------------------------------------------------------------
+
+from morph_xr2rml_spark.compiler.compile import (  # noqa: E402
+    _SAFE_SEP_FIRST,
+    _separators_unambiguous,
+)
+
+_sep = st.text(
+    alphabet=st.sampled_from(sorted(_SAFE_SEP_FIRST)), min_size=1, max_size=3
+)
+_ints = st.lists(st.integers(-10**9, 10**9), min_size=2, max_size=4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ints, st.data())
+def test_digit_template_render_is_injective(vals, data):
+    seps = [data.draw(_sep) for _ in range(len(vals) - 1)]
+    parts: list = ["http://x/"]
+    for i, _ in enumerate(vals):
+        parts.append(i)
+        if i < len(seps):
+            parts.append(seps[i])
+    assert _separators_unambiguous(parts)
+    rendered = "".join(
+        str(vals[p]) if isinstance(p, int) else p for p in parts
+    )
+    # parse back: strip prefix, then alternate maximal [0-9-] runs and
+    # the known separators
+    rest = rendered[len("http://x/"):]
+    out = []
+    for i in range(len(vals)):
+        m = re.match(r"[0-9-]*", rest)
+        out.append(int(m.group(0)))
+        rest = rest[m.end():]
+        if i < len(seps):
+            assert rest.startswith(seps[i])
+            rest = rest[len(seps[i]):]
+    assert out == vals and rest == ""
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(-10**6, 10**6), st.integers(-10**6, 10**6))
+def test_adjacent_groups_flagged_ambiguous(a, b):
+    # no separator between groups -> must be rejected
+    assert not _separators_unambiguous(["p/", 0, 1])
+    # digit-opening separator -> rejected ('1' could open a group run)
+    assert not _separators_unambiguous(["p/", 0, "5x", 1])
+
+
+# ---------------------------------------------------------------------------
+# chain-elision fixed-point premise: digit renderings are invariant
+# under EVERY chain the elided pipeline skips
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-10**12, 10**12))
+def test_digit_renderings_chain_invariant(n):
+    s = str(n)
+    assert E.encode_url(s) == s
+    assert E.encode_reserved_chars(s) == s
+    assert E.encode_uri(s) == s
