@@ -1673,6 +1673,34 @@ SELECT 'has_zz_status',
 """
 
 
+# DESCRIBE <iri>: every triple with the resource as subject or object
+# (the reference expands DESCRIBE identically).
+
+
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import sparql_describe
+
+    trip = q_xr2rml_refobjectmap(spark, sf_dir)
+    return sparql_describe(trip, f"{EX}customer/1")
+
+
+SQL_SPARQL_DESCRIBE = f"""
+WITH c AS (SELECT '<{EX}customer/' || c_custkey || '>' AS s, * FROM customer),
+     o AS (SELECT '<{EX}order/' || o_orderkey || '>' AS s, * FROM orders),
+trip AS (
+    SELECT DISTINCT subj, pred, obj FROM (
+        SELECT s AS subj, '{RDF_TYPE}' AS pred, '<{ONT}Customer>' AS obj FROM c
+        UNION ALL SELECT s, '<{ONT}name>', '"' || c_name || '"' FROM c
+        UNION ALL SELECT s, '<{ONT}status>', '"' || o_orderstatus || '"' FROM o
+        UNION ALL SELECT o.s, '<{ONT}customer>', c.s
+                  FROM o JOIN c ON o.o_custkey = c.c_custkey
+    ) t
+)
+SELECT subj, pred, obj FROM trip
+WHERE subj = '<{EX}customer/1>' OR obj = '<{EX}customer/1>'
+"""
+
+
 SPARQL_CONSTRUCT_INVERSE = """
 PREFIX ex: <http://example.org/ontology#>
 CONSTRUCT { ?cust ex:hasOrder ?ord . ?cust a ex:Buyer }
@@ -1751,6 +1779,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_in_cast": (q_sparql_in_cast, SQL_SPARQL_IN_CAST),
     "sparql_bind_values_exists": (q_sparql_bind_values, SQL_SPARQL_BIND_VALUES),
     "sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
+    "sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
