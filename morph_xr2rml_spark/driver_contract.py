@@ -1396,6 +1396,28 @@ def _kg_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# The customer/orders graph backs FOUR sparql entries (optional_filter,
+# construct, describe, and the ROM goldens); materialize-then-query
+# memoizes it per (session, sf_dir) exactly like the KG triple table —
+# one compiled materialization, many queries against it.
+_ROM_TRIP_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _rom_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    df = _ROM_TRIP_MEMO.get(key)
+    if df is not None:
+        try:
+            if df.storageLevel.useMemory or df.storageLevel.useDisk:
+                return df
+        except Exception:  # noqa: BLE001 — stale session
+            pass
+    df = q_xr2rml_refobjectmap(spark, sf_dir).persist()
+    df.count()  # materialization barrier before branching per pattern
+    _ROM_TRIP_MEMO[key] = df
+    return df
+
+
 SPARQL_BGP_JOIN = """
 PREFIX kg: <http://kg.example.org/ontology#>
 PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
@@ -1431,7 +1453,7 @@ SELECT ?ord ?cust WHERE {
 
 
 def q_sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sparql_select(q_xr2rml_refobjectmap(spark, sf_dir), SPARQL_OPTIONAL_FILTER)
+    return sparql_select(_rom_trip(spark, sf_dir), SPARQL_OPTIONAL_FILTER)
 
 
 SQL_SPARQL_OPTIONAL_FILTER = f"""
@@ -1680,8 +1702,7 @@ SELECT 'has_zz_status',
 def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sparql import sparql_describe
 
-    trip = q_xr2rml_refobjectmap(spark, sf_dir)
-    return sparql_describe(trip, f"{EX}customer/1")
+    return sparql_describe(_rom_trip(spark, sf_dir), f"{EX}customer/1")
 
 
 SQL_SPARQL_DESCRIBE = f"""
@@ -1711,9 +1732,7 @@ WHERE { ?ord ex:customer ?cust }
 def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sparql import sparql_construct
 
-    return sparql_construct(
-        q_xr2rml_refobjectmap(spark, sf_dir), SPARQL_CONSTRUCT_INVERSE
-    )
+    return sparql_construct(_rom_trip(spark, sf_dir), SPARQL_CONSTRUCT_INVERSE)
 
 
 SQL_SPARQL_CONSTRUCT = f"""
