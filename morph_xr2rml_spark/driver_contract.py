@@ -1002,6 +1002,44 @@ SQL_TEXT_ANALYSIS = _sql_text_analysis()
 
 
 # ---------------------------------------------------------------------------
+# 18b. Winnowing fingerprints (rolling-hash document fingerprinting):
+#      k-token shingle hashes, min per sliding window of w (MOSS).
+# ---------------------------------------------------------------------------
+
+_WIN_K, _WIN_W = 3, 4
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.winnow_fingerprints(
+        _load(spark, sf_dir, "documents"), k=_WIN_K, w=_WIN_W
+    )
+
+
+def _sql_winnow() -> str:
+    norm = _sql_norm_text("text")
+    h = "(('0x' || substr(md5(g), 1, 15))::bigint)"
+    return f"""
+WITH tok AS (SELECT doc_id, str_split({norm}, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(toks) >= {_WIN_K}
+                  THEN [array_to_string(toks[i:i+{_WIN_K - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {_WIN_K} + 2)]
+                  ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM tok),
+h AS (SELECT doc_id, [{h} FOR g IN grams] AS hs FROM g),
+win AS (SELECT doc_id,
+               CASE WHEN len(hs) <= {_WIN_W} THEN [list_min(hs)]
+                    ELSE [list_min(hs[j:j+{_WIN_W - 1}])
+                          FOR j IN range(1, len(hs) - {_WIN_W} + 2)] END AS fps
+        FROM h)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM win
+"""
+
+
+SQL_TEXT_WINNOW = _sql_winnow()
+
+
+# ---------------------------------------------------------------------------
 # 19-25. KG construction pipeline stages (pages -> extract -> mentions ->
 #        entities -> triples -> canonicalize)
 # ---------------------------------------------------------------------------
@@ -1784,6 +1822,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_lsh_ann_topk": (q_sim_lsh_ann_topk, SQL_SIM_LSH_ANN_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
+    "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
     "kg_pages": (q_kg_pages, SQL_KG_PAGES),
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),

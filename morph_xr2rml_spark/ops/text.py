@@ -14,8 +14,11 @@ value-hash comparison exact without fragile float formatting.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .hashing import md5_long
 
@@ -147,4 +150,54 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         q["mwl_bp"].alias("mwl_bp"),
         q["score_bp"].alias("score_bp"),
         fingerprint(t).alias("fingerprint"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS rolling-hash scheme, Schleimer
+    et al. 2003): hash every k-token shingle of the normalized text,
+    slide a window of ``w`` consecutive hashes, keep each window's
+    minimum; the distinct minima are the document's fingerprints.
+    Guarantees any shared run of >= w+k-1 tokens between two documents
+    shares at least one fingerprint.
+
+    Per-row Arrow UDF — the fingerprint set of a document depends only
+    on that document, so the 100-TB plan is ONE corpus pass with no
+    shuffle at all (the per-doc distinct happens inside the UDF).
+    Hashes are the same md5-derived 60-bit longs as ops.hashing
+    (int(md5(gram)[:15 hex], 16)), so the DuckDB oracle reproduces
+    them bit-for-bit.
+    """
+    import hashlib
+    import re as _re
+
+    def fps_of(text: str | None) -> list[int]:
+        if text is None:
+            return []
+        norm = _re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        if len(toks) >= k:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            grams = [" ".join(toks)]
+        hs = [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        if len(hs) <= w:
+            return [min(hs)]
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _win(texts: pd.Series) -> pd.Series:
+        return texts.map(fps_of)
+
+    return df.select(
+        F.col(id_col), F.explode(_win(F.col(text_col))).alias("fp")
     )

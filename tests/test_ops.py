@@ -261,3 +261,42 @@ def test_neardup_lsh_high_threshold(spark):
         emb, threshold=0.9, dim=16, method="lsh").collect()}
     assert (0, 1) in exact
     assert lsh == exact  # recall 1.0 at this threshold
+
+
+def test_winnow_fingerprints(spark, docs):
+    import hashlib
+    import re
+
+    out = text.winnow_fingerprints(docs, k=3, w=4)
+    rows = out.collect()
+    assert out.columns == ["doc_id", "fp"]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    # pure-python reference (same scheme) on doc 1
+    def ref_fps(t, k=3, w=4):
+        norm = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        toks = norm.split(" ")
+        grams = (
+            [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k else [" ".join(toks)]
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    texts = {1: "the quick brown fox jumps over the lazy dog near the river bank",
+             2: "the quick brown fox jumps over the lazy dog near the river bend",
+             4: "completely different content about spark query engines and joins"}
+    for d, t in texts.items():
+        assert by_doc[d] == ref_fps(t)
+    # identical docs share all fingerprints; near-identical share >=1
+    assert by_doc[1] == by_doc[3]
+    assert by_doc[1] & by_doc[2]
+    # winnowing guarantee: any shared run of >= w+k-1 tokens shares a
+    # fingerprint -- docs 1/2 share an 11-token prefix >= 6
+    assert not (by_doc[1] & by_doc[4])
+    # empty text still yields exactly one fingerprint (hash of "")
+    assert by_doc[6] == {int(hashlib.md5(b"").hexdigest()[:15], 16)}
