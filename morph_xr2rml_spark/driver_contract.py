@@ -1559,6 +1559,131 @@ GROUP BY obj
 """
 
 
+# Property path: inverse step composed with a sequence step
+# ((^kg:mentions)/schema:inLanguage — "languages of the pages that
+# mention this entity"), joined with a plain pattern. Paths evaluate as
+# join/union/swap plan composition (sparql/bgp.py _path_pairs).
+SPARQL_PATH_SEQ = """
+PREFIX kg: <http://kg.example.org/ontology#>
+PREFIX schema: <http://schema.org/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT DISTINCT ?label ?lang WHERE {
+    ?ent (^kg:mentions)/schema:inLanguage ?lang .
+    ?ent rdfs:label ?label .
+}
+"""
+
+
+def q_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_kg_trip(spark, sf_dir), SPARQL_PATH_SEQ)
+
+
+SQL_SPARQL_PATH_SEQ = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t)
+SELECT DISTINCT t2.obj AS label, t3.obj AS lang
+FROM trip t1
+JOIN trip t2 ON t1.obj = t2.subj
+JOIN trip t3 ON t1.subj = t3.subj
+WHERE t1.pred = '<{KG}ontology#mentions>'
+  AND t2.pred = '<http://www.w3.org/2000/01/rdf-schema#label>'
+  AND t3.pred = '<http://schema.org/inLanguage>'
+"""
+
+
+# Transitive property path (kg:sameAs+) over the synthesized sameAs
+# graph: evaluated as a distributed semi-naive fixpoint (one shuffle
+# join per round, O(diameter) rounds); the oracle replays it with a
+# recursive CTE.
+SPARQL_PATH_CLOSURE = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT DISTINCT ?x ?y WHERE { ?x kg:sameAs+ ?y }
+"""
+
+
+def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    e = pages.synthesize_sameas(docs)
+    trip = e.select(
+        F.concat(F.lit(f"<{KG}entity/"), F.col("src"), F.lit(">")).alias("subj"),
+        F.lit(f"<{KG}ontology#sameAs>").alias("pred"),
+        F.concat(F.lit(f"<{KG}entity/"), F.col("dst"), F.lit(">")).alias("obj"),
+    )
+    return sparql_select(trip, SPARQL_PATH_CLOSURE)
+
+
+SQL_SPARQL_PATH_CLOSURE = f"""
+WITH RECURSIVE vt AS (
+    SELECT DISTINCT tok FROM (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents
+    ) t WHERE tok <> ''
+),
+edges0 AS (
+    SELECT 'alt1_' || tok AS src, 'ent_' || tok AS dst FROM vt
+    UNION ALL
+    SELECT 'alt2_' || tok, 'alt1_' || tok FROM vt
+    UNION ALL
+    SELECT 'ent_' || tok, 'ent_hub' FROM vt WHERE {md5_long_sql("tok")} % 7 = 0
+),
+e AS (SELECT DISTINCT src, dst FROM edges0),
+tc AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+)
+SELECT DISTINCT '<{KG}entity/' || src || '>' AS x,
+                '<{KG}entity/' || dst || '>' AS y
+FROM tc
+"""
+
+
+# MINUS + HAVING + GROUP_CONCAT(DISTINCT) + STRSTARTS/STR in one
+# query: pages-per-entity excluding entities whose label starts with
+# 'a', keeping entities mentioned on more than 3 pages.
+SPARQL_MINUS_HAVING = """
+PREFIX kg: <http://kg.example.org/ontology#>
+PREFIX schema: <http://schema.org/>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?ent (COUNT(?page) AS ?n_pages)
+       (GROUP_CONCAT(DISTINCT ?lang; SEPARATOR=",") AS ?langs)
+WHERE {
+    ?page kg:mentions ?ent .
+    ?page schema:inLanguage ?lang .
+    MINUS { ?ent rdfs:label ?l . FILTER(STRSTARTS(STR(?l), "a")) }
+} GROUP BY ?ent HAVING(COUNT(?page) > 3)
+"""
+
+
+def q_sparql_minus_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sparql_select(_kg_trip(spark, sf_dir), SPARQL_MINUS_HAVING)
+    return df.select(
+        "ent", F.col("n_pages").cast("long").alias("n_pages"), "langs"
+    )
+
+
+SQL_SPARQL_MINUS_HAVING = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t),
+m AS (
+    SELECT t1.subj AS page, t1.obj AS ent, t3.obj AS lang
+    FROM trip t1 JOIN trip t3 ON t1.subj = t3.subj
+    WHERE t1.pred = '<{KG}ontology#mentions>'
+      AND t3.pred = '<http://schema.org/inLanguage>'
+),
+excl AS (
+    SELECT DISTINCT subj AS ent FROM trip
+    WHERE pred = '<http://www.w3.org/2000/01/rdf-schema#label>'
+      AND starts_with(regexp_extract(obj, '^"([^"]*)"', 1), 'a')
+),
+f AS (SELECT * FROM m WHERE ent NOT IN (SELECT ent FROM excl)),
+g AS (SELECT ent, CAST(count(*) AS BIGINT) AS n_pages
+      FROM f GROUP BY ent HAVING count(*) > 3),
+l AS (SELECT ent, string_agg(lang, ',' ORDER BY lang) AS langs
+      FROM (SELECT DISTINCT ent, lang FROM f) d GROUP BY ent)
+SELECT g.ent, g.n_pages, l.langs FROM g JOIN l USING (ent)
+"""
+
+
 # GRAPH patterns over the quad table (named-graph semantics per
 # materializeQuad, MorphBaseMaterializer.scala:77-152)
 
@@ -1840,6 +1965,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
+    "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
+    "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),
+    "sparql_minus_having": (q_sparql_minus_having, SQL_SPARQL_MINUS_HAVING),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
 }
 

@@ -23,13 +23,20 @@ selection — replacing the reference's hand-written optimizer rewrites
 
 Supported SPARQL subset (a superset of every query shape the
 reference's abstract algebra models): PREFIX, SELECT [DISTINCT]
-?v... | *, basic graph patterns, GRAPH <g>/{?g} groups over a quad
-table, OPTIONAL { ... }, UNION of group graph patterns, FILTER with
-=, !=, <, <=, >, >=, BOUND, !, &&, ||, REGEX, IN / NOT IN,
-xsd:integer/double/... casts, STR, arithmetic (+ - * /),
+?v... | *, basic graph patterns, property paths (p1/p2 sequence,
+p1|p2 alternation, ^p inverse, p+ / p* / p? closure — the closures
+evaluated as a distributed semi-naive transitive-closure fixpoint),
+GRAPH <g>/{?g} groups over a quad table, OPTIONAL { ... }, UNION of
+group graph patterns, MINUS { ... }, FILTER with =, !=, <, <=, >, >=,
+BOUND, !, &&, ||, REGEX, IN / NOT IN, xsd:integer/double/... casts,
+STR, arithmetic (+ - * /), STRLEN/UCASE/LCASE/CONCAT/SUBSTR,
+STRSTARTS/STRENDS/CONTAINS, LANG/LANGMATCHES/DATATYPE,
+isIRI/isURI/isLiteral/isBlank, COALESCE, IF,
 FILTER [NOT] EXISTS { ... } (semi/anti join), BIND(expr AS ?v),
 VALUES ?v { ... } / VALUES (?a ?b) { (..) } (broadcast inline data;
-UNDEF joins as NULL), ORDER BY [ASC|DESC], LIMIT, OFFSET.
+UNDEF joins as NULL), GROUP BY + HAVING, aggregates COUNT/SUM/AVG/
+MIN/MAX/SAMPLE/GROUP_CONCAT (with DISTINCT; GROUP_CONCAT sorted for
+determinism), ORDER BY [ASC|DESC], LIMIT, OFFSET.
 
 Value semantics: positions hold N-Triples lexical forms (`<iri>`,
 `"lit"`, `"lit"^^<dt>`, `"3"^^xsd:integer`); FILTER comparisons are on
@@ -57,7 +64,7 @@ Term = str  # '?var' | '<iri>' | '"lit"' | '"lit"^^<dt>' | '"lit"@lang'
 @dataclass
 class TriplePattern:
     s: Term
-    p: Term
+    p: "Term | Path"  # a predicate term, or a property-path expression
     o: Term
 
 
@@ -67,10 +74,23 @@ class Filter:
 
 
 @dataclass
+class Path:
+    """A SPARQL 1.1 property-path expression at the predicate position.
+
+    op: 'seq' | 'alt' | 'inv' | 'plus' | 'star' | 'opt', over Path or
+    plain predicate-IRI strings (the leaf case never constructs a Path).
+    """
+
+    op: str
+    args: list  # list[Path | str]
+
+
+@dataclass
 class Group:
     """A group graph pattern: required patterns, optional sub-groups,
     filters, union branches, GRAPH sub-groups, BIND assignments,
-    VALUES inline data, FILTER [NOT] EXISTS sub-groups."""
+    VALUES inline data, FILTER [NOT] EXISTS sub-groups, MINUS
+    sub-groups."""
 
     patterns: list[TriplePattern] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
@@ -84,13 +104,16 @@ class Group:
     exists: list[tuple[bool, "Group"]] = field(
         default_factory=list
     )  # (positive, sub-group)
+    minuses: list["Group"] = field(default_factory=list)
 
 
 @dataclass
 class Aggregate:
-    func: str  # 'count' | 'sum' | 'avg' | 'min' | 'max'
+    func: str  # 'count'|'sum'|'avg'|'min'|'max'|'sample'|'group_concat'
     var: str | None  # None = COUNT(*)
     alias: str
+    distinct: bool = False
+    sep: str = " "  # GROUP_CONCAT separator
 
 
 @dataclass
@@ -103,6 +126,7 @@ class SelectQuery:
     offset: int | None = None
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    having: "FilterNode | None" = None
 
 
 # filter expression tree
@@ -128,8 +152,10 @@ _TAIL_RE = re.compile(
 )
 
 _AGG_RE = re.compile(
-    r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
-    r"(?P<arg>\*|\?\w+)\s*\)\s+AS\s+\?(?P<alias>\w+)\s*\)$",
+    r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
+    r"(?P<distinct>DISTINCT\s+)?(?P<arg>\*|\?\w+)\s*"
+    r"(?:;\s*SEPARATOR\s*=\s*\"(?P<sep>(?:[^\"\\]|\\.)*)\"\s*)?"
+    r"\)\s+AS\s+\?(?P<alias>\w+)\s*\)$",
     re.IGNORECASE,
 )
 
@@ -140,6 +166,7 @@ _TOKEN_RE = re.compile(
       | \w+:[\w.%-]*      # prefixed name
       | a\b               # rdf:type shorthand
       | [{}().;,]
+      | [/|^+*?]          # property-path operators
       | \S+
     """,
     re.VERBOSE,
@@ -210,11 +237,14 @@ def parse_sparql(text: str) -> SelectQuery:
             ma = _AGG_RE.match(item)
             if ma:
                 arg = ma.group("arg")
+                sep = ma.group("sep")
                 aggregates.append(
                     Aggregate(
                         ma.group("func").lower(),
                         None if arg == "*" else arg[1:],
                         ma.group("alias"),
+                        distinct=bool(ma.group("distinct")),
+                        sep=" " if sep is None else re.sub(r"\\(.)", r"\1", sep),
                     )
                 )
             else:
@@ -236,6 +266,15 @@ def parse_sparql(text: str) -> SelectQuery:
 
     group = _parse_group(where_src, prefixes)
 
+    # HAVING(expr) sits between GROUP BY and ORDER BY; cut it out
+    # before the tail regex (its parens would confuse the clause split)
+    having: FilterNode | None = None
+    mh = re.search(r"HAVING\s*\(", tail, re.IGNORECASE)
+    if mh:
+        j = _match_paren(tail, mh.end() - 1)
+        having = _parse_having(tail[mh.end() : j], prefixes)
+        tail = tail[: mh.start()] + tail[j + 1 :]
+
     mt = _TAIL_RE.search(tail)
     order_by: list[tuple[str, bool]] = []
     group_by: list[str] = []
@@ -253,7 +292,8 @@ def parse_sparql(text: str) -> SelectQuery:
         if mt.group("offset"):
             offset = int(mt.group("offset"))
     return SelectQuery(
-        variables, group, distinct, order_by, limit, offset, aggregates, group_by
+        variables, group, distinct, order_by, limit, offset, aggregates,
+        group_by, having,
     )
 
 
@@ -287,8 +327,14 @@ def _split_blocks(src: str) -> list[tuple[str, str]]:
             src[i:],
             re.IGNORECASE,
         )
+        mmin = re.match(r"\s*MINUS\s*\{", src[i:], re.IGNORECASE)
         mgrp = re.match(r"\s*\{", src[i:])
-        if mopt:
+        if mmin:
+            flush()
+            j = _match_brace(src, i + mmin.end() - 1)
+            blocks.append(("minus", src[i + mmin.end() : j]))
+            i = j + 1
+        elif mopt:
             flush()
             j = _match_brace(src, i + mopt.end() - 1)
             blocks.append(("optional", src[i + mopt.end() : j]))
@@ -400,6 +446,8 @@ def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
         elif kind == "exists":
             positive, body = chunk
             g.exists.append((positive, _parse_group(body, prefixes)))
+        elif kind == "minus":
+            g.minuses.append(_parse_group(chunk, prefixes))
     return g
 
 
@@ -481,14 +529,75 @@ def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
     out: list[TriplePattern] = []
     for stmt in _split_statements(chunk):
         toks = [t for t in _TOKEN_RE.findall(stmt) if t not in {".", ""}]
-        if not toks:
-            continue
-        if len(toks) % 3 != 0:
-            raise ValueError(f"cannot parse triple pattern: {stmt!r}")
-        for i in range(0, len(toks), 3):
-            s, p, o = (_expand(t, prefixes) for t in toks[i : i + 3])
+        i = 0
+        while i < len(toks):
+            s = _expand(toks[i], prefixes)
+            i += 1
+            if i >= len(toks):
+                raise ValueError(f"cannot parse triple pattern: {stmt!r}")
+            p, i = _parse_path(toks, i, prefixes)
+            if i >= len(toks):
+                raise ValueError(f"cannot parse triple pattern: {stmt!r}")
+            o = _expand(toks[i], prefixes)
+            i += 1
             out.append(TriplePattern(s, p, o))
     return out
+
+
+# Property-path grammar (SPARQL 1.1 §9, over the statement tokens):
+#   path := seq ('|' seq)*
+#   seq  := step ('/' step)*
+#   step := '^' step | primary ('+'|'*'|'?')*
+#   primary := iri | prefixed | 'a' | '(' path ')'
+# A trivial path (a single forward predicate) stays a plain string, so
+# non-path triples compile exactly as before.
+
+
+def _parse_path(
+    toks: list[str], i: int, prefixes: dict[str, str]
+) -> tuple["Term | Path", int]:
+    node, i = _path_seq(toks, i, prefixes)
+    branches = [node]
+    while i < len(toks) and toks[i] == "|":
+        nxt, i = _path_seq(toks, i + 1, prefixes)
+        branches.append(nxt)
+    return (branches[0] if len(branches) == 1 else Path("alt", branches)), i
+
+
+def _path_seq(
+    toks: list[str], i: int, prefixes: dict[str, str]
+) -> tuple["Term | Path", int]:
+    step, i = _path_step(toks, i, prefixes)
+    steps = [step]
+    while i < len(toks) and toks[i] == "/":
+        nxt, i = _path_step(toks, i + 1, prefixes)
+        steps.append(nxt)
+    return (steps[0] if len(steps) == 1 else Path("seq", steps)), i
+
+
+_PATH_MODS = {"+": "plus", "*": "star", "?": "opt"}
+
+
+def _path_step(
+    toks: list[str], i: int, prefixes: dict[str, str]
+) -> tuple["Term | Path", int]:
+    if i >= len(toks):
+        raise ValueError("unexpected end of property path")
+    if toks[i] == "^":
+        inner, i = _path_step(toks, i + 1, prefixes)
+        node: Term | Path = Path("inv", [inner])
+    elif toks[i] == "(":
+        node, i = _parse_path(toks, i + 1, prefixes)
+        if i >= len(toks) or toks[i] != ")":
+            raise ValueError("unbalanced parens in property path")
+        i += 1
+    else:
+        node = _expand(toks[i], prefixes)
+        i += 1
+    while i < len(toks) and toks[i] in _PATH_MODS:
+        node = Path(_PATH_MODS[toks[i]], [node])
+        i += 1
+    return node, i
 
 
 def _split_statements(chunk: str) -> list[str]:
@@ -550,8 +659,24 @@ _INT_CASTS = {
     "positiveInteger", "negativeInteger", "unsignedInt", "unsignedLong",
 }
 _FLOAT_CASTS = {"decimal", "double", "float"}
-_BOOL_OPS = {"and", "or", "not", "bound", "regex", "=", "!=", "<", "<=", ">", ">="}
+# SPARQL 1.1 built-in functions (beyond the reference's transFunction
+# set): term tests, string tests, string/term accessors.
+_FN_BOOL = {
+    "ISIRI": "isiri", "ISURI": "isiri", "ISLITERAL": "isliteral",
+    "ISBLANK": "isblank", "STRSTARTS": "strstarts", "STRENDS": "strends",
+    "CONTAINS": "contains", "LANGMATCHES": "langmatches",
+}
+_FN_VALUE = {
+    "STRLEN": "strlen", "UCASE": "ucase", "LCASE": "lcase",
+    "CONCAT": "concat", "COALESCE": "coalesce", "IF": "if",
+    "SUBSTR": "substr", "LANG": "lang", "DATATYPE": "datatype",
+}
+_BOOL_OPS = {
+    "and", "or", "not", "bound", "regex",
+    "=", "!=", "<", "<=", ">", ">=",
+} | set(_FN_BOOL.values())
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
 
 class _FilterParser:
@@ -682,25 +807,61 @@ class _FilterParser:
         if t == "+":
             self._pop()
             return self.primary()
+        u = t.upper()
         if self._peek(1) == "(" and (
-            re.match(r"^\w+:[\w.%-]+$", t) or t.upper() == "STR"
+            re.match(r"^\w+:[\w.%-]+$", t)
+            or u == "STR"
+            or u in _FN_BOOL
+            or u in _FN_VALUE
         ):
             self._pop()
             self._expect("(")
-            arg = self.additive()
+            args = [self.or_expr()]
+            while self._peek() == ",":
+                self._pop()
+                args.append(self.or_expr())
             self._expect(")")
-            if t.upper() == "STR":
-                return FilterNode("str", [arg])
+            if u == "STR":
+                return FilterNode("str", args[:1])
+            if u in _FN_BOOL:
+                return FilterNode(_FN_BOOL[u], args)
+            if u in _FN_VALUE:
+                return FilterNode(_FN_VALUE[u], args)
             pfx, local = t.split(":", 1)
             if pfx == "xsd" or self.prefixes.get(pfx) == _XSD_NS:
                 if local in _INT_CASTS:
-                    return FilterNode("cast_int", [arg])
+                    return FilterNode("cast_int", args[:1])
                 if local in _FLOAT_CASTS:
-                    return FilterNode("cast_num", [arg])
+                    return FilterNode("cast_num", args[:1])
                 if local == "string":
-                    return FilterNode("str", [arg])
+                    return FilterNode("str", args[:1])
             raise ValueError(f"unsupported FILTER function {t}()")
         return _expand(self._pop(), self.prefixes)
+
+
+class _HavingParser(_FilterParser):
+    """The FILTER grammar plus aggregate calls at the primary level
+    (HAVING(COUNT(?x) > 5) and friends)."""
+
+    def primary(self):
+        t = self._peek()
+        if t is not None and t.upper() in _AGG_FUNCS and self._peek(1) == "(":
+            func = self._pop().lower()
+            self._expect("(")
+            distinct = False
+            nt = self._peek()
+            if nt is not None and nt.upper() == "DISTINCT":
+                self._pop()
+                distinct = True
+            arg = self._pop()
+            self._expect(")")
+            var = None if arg == "*" else arg.lstrip("?")
+            return FilterNode("agg", [func, var, distinct])
+        return super().primary()
+
+
+def _parse_having(src: str, prefixes: dict[str, str]) -> FilterNode:
+    return _HavingParser(src, prefixes).parse()
 
 
 def _unquote(tok: str) -> str:
@@ -743,7 +904,16 @@ def _pattern_df(
     elif graph is not None:
         raise ValueError("GRAPH pattern requires a quad table input "
                          "(use MappingCompiler.quads())")
-    for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
+    if isinstance(tp.p, Path):
+        if graph is not None and _is_var(graph):
+            raise ValueError(
+                "property paths inside GRAPH ?var are not supported"
+            )
+        df = _path_pairs(df.select("subj", "pred", "obj"), tp.p)
+        positions: tuple = (("subj", tp.s), ("obj", tp.o))
+    else:
+        positions = (("subj", tp.s), ("pred", tp.p), ("obj", tp.o))
+    for pos, term in positions:
         if _is_var(term):
             var = term[1:]
             if var in cols:  # same var twice in one pattern: equality
@@ -753,6 +923,96 @@ def _pattern_df(
         else:
             df = df.where(F.col(pos) == F.lit(term))
     return df.select([c.alias(v) for v, c in cols.items()])
+
+
+def _path_pairs(triples: DataFrame, node: "Term | Path") -> DataFrame:
+    """Property-path expression -> (subj, obj) pair DataFrame.
+
+    seq/alt/inv are plan composition (join / union / swap); plus/star
+    are the standard distributed transitive closure: semi-naive
+    iteration, one shuffle equi-join per round, O(path diameter) rounds
+    with lineage truncated per round (localCheckpoint) so the plan
+    doesn't grow with iteration count. Duplicate semantics: seq/alt are
+    bag-shaped like Spark joins; +/*/? deduplicate (SPARQL defines the
+    closure operators as set-valued reachability, §9.3 ALP)."""
+    if isinstance(node, str):
+        return triples.where(F.col("pred") == F.lit(node)).select("subj", "obj")
+    if node.op == "inv":
+        p = _path_pairs(triples, node.args[0])
+        return p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    if node.op == "alt":
+        return functools.reduce(
+            DataFrame.unionByName, [_path_pairs(triples, a) for a in node.args]
+        )
+    if node.op == "seq":
+        cur = _path_pairs(triples, node.args[0])
+        for step in node.args[1:]:
+            nxt = _path_pairs(triples, step)
+            cur = (
+                cur.alias("l")
+                .join(nxt.alias("r"), F.col("l.obj") == F.col("r.subj"))
+                .select(
+                    F.col("l.subj").alias("subj"), F.col("r.obj").alias("obj")
+                )
+            )
+        return cur
+    if node.op == "plus":
+        return _transitive_pairs(_path_pairs(triples, node.args[0]))
+    if node.op in ("star", "opt"):
+        # zero-length path: every term of the (graph-restricted) input
+        # matches itself (SPARQL 1.1 §9.3 zero-length-path semantics)
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .union(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        zero = nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+        one = _path_pairs(triples, node.args[0])
+        more = _transitive_pairs(one) if node.op == "star" else one
+        return zero.unionByName(more).distinct()
+    raise ValueError(f"unknown path operator {node.op!r}")
+
+
+def _transitive_pairs(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Transitive closure of an edge set (one-or-more path): semi-naive
+    fixpoint. Each round joins only the NEW pairs (the frontier)
+    against the base edges, anti-joins out already-seen pairs, and
+    truncates lineage; cycles terminate because the frontier shrinks to
+    empty once every reachable pair is seen. Rounds = longest shortest
+    path (graph diameter), each one shuffle join at edge-set scale."""
+    from ..plans.caching import cache
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # materialize the round (persist + count as the barrier),
+        # registered with the session cache registry for release at the
+        # caller's job boundary; localCheckpoint would truncate lineage
+        # harder but trips a Spark 4 attribute-resolution bug when the
+        # edge set comes out of an AQE-finalized shuffle, and closure
+        # depth (graph diameter) is small for real path queries, so
+        # bounded lineage growth is acceptable
+        df = cache(df)
+        df.count()
+        return df
+
+    base = _pin(edges.distinct())
+    layers = [base]
+    frontier = base
+    for _ in range(max_rounds):
+        seen = functools.reduce(DataFrame.union, layers)
+        nxt = _pin(
+            frontier.alias("f")
+            .join(base.alias("e"), F.col("f.obj") == F.col("e.subj"))
+            .select(F.col("f.subj").alias("subj"), F.col("e.obj").alias("obj"))
+            .distinct()
+            .join(seen, ["subj", "obj"], "left_anti")
+        )
+        if nxt.isEmpty():
+            return functools.reduce(DataFrame.union, layers)
+        layers.append(nxt)
+        frontier = nxt
+    raise RuntimeError(
+        f"transitive path did not converge in {max_rounds} rounds"
+    )
 
 
 def _join_bindings(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
@@ -810,6 +1070,19 @@ def _group_df(
         else:
             # no shared variables: EXISTS is a global emptiness test
             df = df.join(sdf.limit(1), F.lit(True), how)
+    for sub in g.minuses:
+        sdf = _group_df(triples, sub, graph)
+        shared = [c for c in df.columns if c in sdf.columns]
+        if shared:
+            # SPARQL MINUS: drop solutions with a compatible solution on
+            # the shared (bound) variables -> anti equi-join. (Unbound
+            # shared variables — possible only via OPTIONAL feeding
+            # MINUS — follow SQL null semantics here: null matches
+            # nothing, so such rows are kept.)
+            df = df.join(
+                sdf.select(*shared).dropDuplicates(), on=shared, how="left_anti"
+            )
+        # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3)
     return df
 
 
@@ -838,6 +1111,52 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
             return _as_number(term.args[0], df).cast("long").cast("double"), "num"
         if op == "str":
             return _as_lexical(term.args[0], df), "str"
+        if op == "strlen":
+            return F.length(_as_lexical(term.args[0], df)), "num"
+        if op == "ucase":
+            return F.upper(_as_lexical(term.args[0], df)), "str"
+        if op == "lcase":
+            return F.lower(_as_lexical(term.args[0], df)), "str"
+        if op == "concat":
+            return F.concat(*[_as_lexical(a, df) for a in term.args]), "str"
+        if op == "substr":
+            # SPARQL SUBSTR is 1-based like SQL SUBSTRING
+            s = _as_lexical(term.args[0], df)
+            start = _as_number(term.args[1], df).cast("int")
+            if len(term.args) > 2:
+                length = _as_number(term.args[2], df).cast("int")
+            else:
+                length = F.lit(2**31 - 1)
+            return s.substr(start, length), "str"
+        if op == "coalesce":
+            cols = [_filter_operand(a, df)[0] for a in term.args]
+            return F.coalesce(*cols), "plain"
+        if op == "if":
+            cond = _filter_col(term.args[0], df)
+            a, ak = _filter_operand(term.args[1], df)
+            b, bk = _filter_operand(term.args[2], df)
+            return F.when(cond, a).otherwise(b), ak if ak == bk else "plain"
+        if op == "lang":
+            # language tag of a literal term; "" when absent (SPARQL LANG)
+            return (
+                F.regexp_extract(_raw_term(term.args[0], df), r"@([A-Za-z0-9-]+)$", 1),
+                "str",
+            )
+        if op == "datatype":
+            raw = _raw_term(term.args[0], df)
+            return (
+                F.when(
+                    raw.rlike(r"\^\^<[^>]*>$"),
+                    F.regexp_extract(raw, r"\^\^(<[^>]*>)$", 1),
+                )
+                .when(
+                    raw.rlike(r'^".*"@[A-Za-z0-9-]+$'),
+                    F.lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"),
+                )
+                .when(raw.startswith('"'), F.lit(f"<{_XSD_NS}string>"))
+                .otherwise(F.lit(None).cast("string")),
+                "plain",
+            )
         raise ValueError(f"value expression expected in FILTER, got {op!r}")
     if isinstance(term, str) and term.startswith("?"):
         return F.col(term[1:]), "plain"
@@ -849,6 +1168,16 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
             return F.lit(float(term)), "num"
         return F.lit(term), "plain"
     raise ValueError(f"bad filter operand {term!r}")
+
+
+def _raw_term(term, df: DataFrame) -> Column:
+    """The N-Triples term form itself (for LANG/DATATYPE/is* tests)."""
+    if isinstance(term, str) and term.startswith("?"):
+        return F.col(term[1:])
+    if isinstance(term, str):
+        return F.lit(term)
+    col, _kind = _filter_operand(term, df)
+    return col
 
 
 def _as_number(term, df: DataFrame) -> Column:
@@ -902,6 +1231,26 @@ def _filter_col(node: FilterNode, df: DataFrame) -> Column:
         return F.col(node.args[0]).isNotNull()
     if op == "regex":
         return F.col(node.args[0]).rlike(node.args[1])
+    if op == "isiri":
+        return _raw_term(node.args[0], df).startswith("<")
+    if op == "isliteral":
+        return _raw_term(node.args[0], df).startswith('"')
+    if op == "isblank":
+        return _raw_term(node.args[0], df).startswith("_:")
+    if op in ("strstarts", "strends", "contains"):
+        a = _as_lexical(node.args[0], df)
+        b = _as_lexical(node.args[1], df)
+        return {
+            "strstarts": a.startswith(b),
+            "strends": a.endswith(b),
+            "contains": a.contains(b),
+        }[op]
+    if op == "langmatches":
+        tag = _as_lexical(node.args[0], df)
+        rng = _as_lexical(node.args[1], df)
+        return F.when(rng == "*", tag != "").otherwise(
+            F.lower(tag) == F.lower(rng)
+        )
     if op not in _CMP_OPS:
         raise ValueError(f"boolean expression expected in FILTER, got {op!r}")
     l, lk = _filter_operand(node.args[0], df)
@@ -940,9 +1289,31 @@ def _agg_col(agg: Aggregate) -> Column:
     bindings; the numeric aggregates operate on the parsed numeric
     value of the literal terms."""
     if agg.func == "count":
-        c = F.count(F.lit(1)) if agg.var is None else F.count(F.col(agg.var))
+        if agg.var is None:
+            c = F.count(F.lit(1))
+        elif agg.distinct:
+            c = F.count_distinct(F.col(agg.var))
+        else:
+            c = F.count(F.col(agg.var))
         return c.alias(agg.alias)
+    if agg.func == "sample":
+        # SAMPLE() may return any binding; min() is the deterministic
+        # pick (and what lets a SQL oracle reproduce it exactly)
+        return F.min(F.col(agg.var)).alias(agg.alias)
+    if agg.func == "group_concat":
+        coll = (
+            F.collect_set(F.col(agg.var))
+            if agg.distinct
+            else F.collect_list(F.col(agg.var))
+        )
+        # SPARQL leaves concatenation order undefined; sorting makes it
+        # deterministic (and oracle-reproducible via string_agg ORDER BY)
+        return F.array_join(F.sort_array(coll), agg.sep).alias(agg.alias)
     v = _numeric_value(F.col(agg.var))
+    if agg.distinct and agg.func == "sum":
+        return F.sum_distinct(v).alias(agg.alias)
+    if agg.distinct and agg.func == "avg":
+        return (F.sum_distinct(v) / F.count_distinct(v)).alias(agg.alias)
     return {
         "sum": F.sum(v),
         "avg": F.avg(v),
@@ -956,12 +1327,35 @@ def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
     triple DataFrame; returns one column per projected variable."""
     q = parse_sparql(query) if isinstance(query, str) else query
     df = _group_df(triples, q.where)
-    if q.aggregates:
+    if q.aggregates or q.having is not None:
         aggs = [_agg_col(a) for a in q.aggregates]
+        # HAVING: pull aggregate calls out of the expression tree into
+        # hidden agg columns, filter on them post-agg, then drop them
+        having_tree = None
+        if q.having is not None:
+            hidden_n = 0
+
+            def _pull(node):
+                nonlocal hidden_n
+                if isinstance(node, FilterNode):
+                    if node.op == "agg":
+                        alias = f"__h{hidden_n}"
+                        hidden_n += 1
+                        func, var, distinct = node.args
+                        aggs.append(
+                            _agg_col(Aggregate(func, var, alias, distinct))
+                        )
+                        return f"?{alias}"
+                    return FilterNode(node.op, [_pull(a) for a in node.args])
+                return node
+
+            having_tree = _pull(q.having)
         if q.group_by:
             df = df.groupBy(*q.group_by).agg(*aggs)
         else:
             df = df.agg(*aggs)
+        if having_tree is not None:
+            df = df.where(_filter_col(having_tree, df))
         keep = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
         df = df.select(*[c for c in keep if c in df.columns])
     elif q.variables:

@@ -509,3 +509,188 @@ def test_filter_not_exists_with_constant(triples):
             FILTER NOT EXISTS { ?x ex:knows <http://example.org/p/2> } }""",
     )
     assert rows(out) == {(f"<{EX}p/2>",)}
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 extensions: MINUS, HAVING, extra aggregates, term/string
+# functions, property paths
+# ---------------------------------------------------------------------------
+
+
+def test_minus(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?s WHERE { ?s ex:name ?n . MINUS { ?s ex:age ?a } }""",
+        )
+    )
+    assert got == {(f"<{EX}p/3>",)}  # only carol has no age
+
+
+def test_minus_disjoint_removes_nothing(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?s WHERE { ?s ex:name ?n . MINUS { ?x ex:age ?a } }""",
+        )
+    )
+    assert len(got) == 3  # no shared vars -> MINUS is a no-op
+
+
+def test_having_and_group_concat(triples):
+    df = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?s (COUNT(?o) AS ?n) (GROUP_CONCAT(?o; SEPARATOR="|") AS ?os)
+        WHERE { ?s ?p ?o } GROUP BY ?s HAVING(COUNT(?o) > 2) ORDER BY ?s""",
+    )
+    out = df.collect()
+    assert [r["s"] for r in out] == [f"<{EX}p/1>", f"<{EX}p/2>"]
+    assert all(r["n"] == 4 for r in out)
+    assert "|" in out[0]["os"] and out[0]["os"] == "|".join(sorted(out[0]["os"].split("|")))
+
+
+def test_sample_and_count_distinct(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT (SAMPLE(?n) AS ?one) (COUNT(DISTINCT ?s) AS ?np)
+        WHERE { ?s ex:name ?n }""",
+    ).collect()[0]
+    assert out["one"] == '"alice"'  # deterministic min
+    assert out["np"] == 3
+
+
+def test_string_functions(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?n WHERE {
+                ?s ex:name ?n .
+                FILTER(STRSTARTS(STR(?n), "a") || CONTAINS(STR(?n), "aro"))
+            }""",
+        )
+    )
+    assert got == {('"alice"',), ('"carol"',)}
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?u WHERE { <http://example.org/p/1> ex:name ?n .
+            BIND(UCASE(CONCAT(STR(?n), "-", SUBSTR(STR(?n), 1, 2))) AS ?u) }""",
+    ).collect()
+    assert out[0]["u"] == "ALICE-AL"
+
+
+def test_term_tests_and_datatype(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?s WHERE { ?s ex:age ?a .
+                FILTER(ISLITERAL(?a) && !ISIRI(?a) && DATATYPE(?a) = xsd:integer)
+            }""",
+        )
+    )
+    assert len(got) == 2
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?s WHERE { ?s ex:knows ?o . FILTER(ISIRI(?o)) }""",
+    ).collect()
+    assert len(out) == 2
+
+
+def test_coalesce_if(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?s ?c WHERE {
+            ?s ex:name ?n . OPTIONAL { ?s ex:age ?a }
+            BIND(COALESCE(?a, "none") AS ?c)
+        } ORDER BY ?s""",
+    ).collect()
+    assert [r["c"] for r in out] == [
+        '"30"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"17"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"none"',
+    ]
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?s ?k WHERE { ?s ex:age ?a .
+            BIND(IF(?a >= 18, "adult", "minor") AS ?k) } ORDER BY ?s""",
+    ).collect()
+    assert [r["k"] for r in out] == ['"adult"', '"minor"']
+
+
+def test_path_sequence_and_inverse(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?n WHERE { <http://example.org/p/1> ex:knows/ex:name ?n }""",
+        )
+    )
+    assert got == {('"bob"',)}
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?s WHERE { ?s ^ex:knows <http://example.org/p/1> }""",
+        )
+    )
+    # (?s, p1) in ^knows  <=>  p1 knows ?s  => s = p2
+    assert got == {(f"<{EX}p/2>",)}
+
+
+def test_path_alternation(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT DISTINCT ?v WHERE { <http://example.org/p/2> (ex:name|ex:age) ?v }""",
+        )
+    )
+    assert got == {('"bob"',), ('"17"^^<http://www.w3.org/2001/XMLSchema#integer>',)}
+
+
+def test_path_transitive_plus(spark):
+    # chain with a cycle: closure must terminate and be complete
+    E = "http://example.org/"
+    rows_ = [
+        (f"<{E}a>", f"<{E}r>", f"<{E}b>"),
+        (f"<{E}b>", f"<{E}r>", f"<{E}c>"),
+        (f"<{E}c>", f"<{E}r>", f"<{E}a>"),
+    ]
+    t = spark.createDataFrame(rows_, "subj string, pred string, obj string")
+    got = rows(
+        sparql_select(
+            t,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x ?y WHERE { ?x ex:r+ ?y }""",
+        )
+    )
+    assert len(got) == 9  # full 3x3 closure on the cycle
+    got = rows(
+        sparql_select(
+            t,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?y WHERE { <http://example.org/a> ex:r* ?y }""",
+        )
+    )
+    assert got == {(f"<{E}a>",), (f"<{E}b>",), (f"<{E}c>",)}
+
+
+def test_path_seq_of_plus(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?n WHERE { <http://example.org/p/1> (ex:knows+)/ex:name ?n }""",
+        )
+    )
+    assert got == {('"bob"',), ('"carol"',)}
