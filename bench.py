@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "sparql_bgp_join",
     "sparql_group_count",
     "sparql_construct",
+    "sparql_path_closure",
     "kg_triples_canonical",
 ]
 

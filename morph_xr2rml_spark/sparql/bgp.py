@@ -34,9 +34,11 @@ STRSTARTS/STRENDS/CONTAINS, LANG/LANGMATCHES/DATATYPE,
 isIRI/isURI/isLiteral/isBlank, COALESCE, IF,
 FILTER [NOT] EXISTS { ... } (semi/anti join), BIND(expr AS ?v),
 VALUES ?v { ... } / VALUES (?a ?b) { (..) } (broadcast inline data;
-UNDEF joins as NULL), GROUP BY + HAVING, aggregates COUNT/SUM/AVG/
-MIN/MAX/SAMPLE/GROUP_CONCAT (with DISTINCT; GROUP_CONCAT sorted for
-determinism), ORDER BY [ASC|DESC], LIMIT, OFFSET.
+UNDEF joins as NULL), subqueries ({ SELECT ... } evaluated bottom-up,
+projected variables joining outward), GROUP BY + HAVING, aggregates
+COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT (with DISTINCT;
+GROUP_CONCAT sorted for determinism), ORDER BY [ASC|DESC], LIMIT,
+OFFSET.
 
 Value semantics: positions hold N-Triples lexical forms (`<iri>`,
 `"lit"`, `"lit"^^<dt>`, `"3"^^xsd:integer`); FILTER comparisons are on
@@ -105,6 +107,7 @@ class Group:
         default_factory=list
     )  # (positive, sub-group)
     minuses: list["Group"] = field(default_factory=list)
+    subselects: list["SelectQuery"] = field(default_factory=list)
 
 
 @dataclass
@@ -225,6 +228,10 @@ def parse_sparql(text: str) -> SelectQuery:
     text = _strip_comments(text)
     prefixes = dict(_PREFIX_RE.findall(text))
     body = _PREFIX_RE.sub("", text)
+    return _parse_select(body, prefixes)
+
+
+def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
     msel = _SELECT_RE.search(body)
     if not msel:
         raise ValueError("only SELECT queries are supported")
@@ -385,7 +392,13 @@ def _split_blocks(src: str) -> list[tuple[str, str]]:
                     k += mu.end()
                 else:
                     break
-            blocks.append(("union", branches))  # type: ignore[arg-type]
+            if len(branches) == 1 and re.match(
+                r"\s*SELECT\b", branches[0], re.IGNORECASE
+            ):
+                # { SELECT ... } — a SPARQL 1.1 subquery
+                blocks.append(("subselect", branches[0]))
+            else:
+                blocks.append(("union", branches))  # type: ignore[arg-type]
             i = k
         else:
             plain.append(src[i])
@@ -448,6 +461,8 @@ def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
             g.exists.append((positive, _parse_group(body, prefixes)))
         elif kind == "minus":
             g.minuses.append(_parse_group(chunk, prefixes))
+        elif kind == "subselect":
+            g.subselects.append(_parse_select(chunk, prefixes))
     return g
 
 
@@ -1046,6 +1061,9 @@ def _group_df(
     parts: list[DataFrame] = [_pattern_df(triples, tp, graph) for tp in g.patterns]
     for gterm, sub in g.graphs:
         parts.append(_group_df(triples, sub, gterm))
+    # SPARQL 1.1 subqueries: evaluated bottom-up in the same graph
+    # context; their projected variables join with the outer group
+    parts.extend(_select_df(triples, sq, graph) for sq in g.subselects)
     for branches in g.unions:
         branch_dfs = [_group_df(triples, b, graph) for b in branches]
         parts.append(functools.reduce(DataFrame.unionByName, branch_dfs))
@@ -1326,7 +1344,13 @@ def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
     """Evaluate a SPARQL SELECT (subset) over a (subj, pred, obj)
     triple DataFrame; returns one column per projected variable."""
     q = parse_sparql(query) if isinstance(query, str) else query
-    df = _group_df(triples, q.where)
+    return _select_df(triples, q)
+
+
+def _select_df(
+    triples: DataFrame, q: SelectQuery, graph: Term | None = None
+) -> DataFrame:
+    df = _group_df(triples, q.where, graph)
     if q.aggregates or q.having is not None:
         aggs = [_agg_col(a) for a in q.aggregates]
         # HAVING: pull aggregate calls out of the expression tree into

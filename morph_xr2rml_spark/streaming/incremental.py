@@ -162,3 +162,70 @@ def mention_rate_stream(
             "n_mentions",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch streaming exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact deduplication across microbatches: emit each
+    document whose content hash has never been seen before (the
+    first-seen copy), drop every later duplicate — the streaming
+    counterpart of ops.dedup.exact_dedup (same md5-derived 60-bit
+    content hash, ops/hashing.py md5_long).
+
+    Implemented with ``applyInPandasWithState``: groups are content
+    hashes, so state is one tiny row (copies seen so far) per DISTINCT
+    content — bounded by corpus vocabulary, not stream length — and
+    Spark shuffles each microbatch once on the hash, exactly like the
+    batch operator's single hash-groupBy. Arrow-batched (no per-row
+    Python), no timeout: duplicate detection must never expire.
+    Within a microbatch the kept copy is the minimum id, matching the
+    batch operator; across batches it is the first-arriving copy
+    (earlier event time wins — the batch operator's min-id rule needs
+    a global view a stream cannot have).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..ops.hashing import md5_long
+
+    hashed = docs_stream.select(
+        F.col(id_col).alias("doc_id"),
+        md5_long(F.col(text_col)).alias("content_hash"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content_hash", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n_seen", T.LongType())])
+
+    def first_seen(
+        key: tuple, pdfs, state: GroupState
+    ):
+        seen = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        state.update((seen + len(batch),))
+        if seen == 0 and len(batch):
+            keep = batch.nsmallest(1, "doc_id")
+            yield keep[["doc_id", "content_hash"]]
+
+    return (
+        hashed.groupBy("content_hash")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

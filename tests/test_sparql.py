@@ -694,3 +694,31 @@ def test_path_seq_of_plus(triples):
         )
     )
     assert got == {('"bob"',), ('"carol"',)}
+
+
+def test_subquery(triples):
+    # inner subquery picks the people with an age; outer joins names
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?s ?n WHERE {
+                ?s ex:name ?n .
+                { SELECT ?s WHERE { ?s ex:age ?a . FILTER(?a >= 18) } }
+            }""",
+        )
+    )
+    assert got == {(f"<{EX}p/1>", '"alice"')}
+
+
+def test_subquery_with_aggregate(triples):
+    # classic pattern: aggregate in a subquery, join outward
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?s ?n ?deg WHERE {
+            ?s ex:name ?n .
+            { SELECT ?s (COUNT(?o) AS ?deg) WHERE { ?s ex:knows ?o } GROUP BY ?s }
+        } ORDER BY ?s""",
+    ).collect()
+    assert [(r["n"], r["deg"]) for r in out] == [('"alice"', 1), ('"bob"', 1)]

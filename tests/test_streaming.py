@@ -82,3 +82,48 @@ def test_mention_rate_stream(spark, doc_dir, aliases):
     assert rows, "windowed aggregation produced no rows"
     assert all(r["n_mentions"] > 0 for r in rows)
     assert all(r["window_end"] > r["window_start"] for r in rows)
+
+
+def test_dedup_stream_first_seen(spark, tmp_path_factory):
+    """applyInPandasWithState cross-batch dedup: first-seen copy kept,
+    later exact duplicates dropped, min-id within a microbatch."""
+    ddir = tmp_path_factory.mktemp("dedup_stream_in")
+    odir = str(tmp_path_factory.mktemp("dedup_stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_stream_ckpt"))
+
+    # batch 1: docs 10,11 (11 duplicates 10 -> min-id 10 kept), 12
+    # batch 2: doc 20 duplicates 10 (cross-batch dup -> dropped),
+    #          docs 21, 22 (22 duplicates 21 -> 21 kept)
+    b1 = pa.table({
+        "doc_id": pa.array([11, 10, 12], pa.int64()),
+        "text": ["same one", "same one", "unique a"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pa.array([8, 8, 8], pa.int64()),
+    })
+    b2 = pa.table({
+        "doc_id": pa.array([20, 21, 22], pa.int64()),
+        "text": ["same one", "unique b", "unique b"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": pa.array([8, 8, 8], pa.int64()),
+    })
+    pq.write_table(b1, str(ddir / "a-batch1.parquet"))
+    pq.write_table(b2, str(ddir / "b-batch2.parquet"))
+
+    stream = incremental.stream_documents(
+        spark, str(ddir), max_files_per_trigger=1
+    )
+    q = (
+        incremental.dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", odir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(odir).collect()
+    )
+    assert kept == [10, 12, 21]
