@@ -1040,6 +1040,57 @@ SQL_TEXT_WINNOW = _sql_winnow()
 
 
 # ---------------------------------------------------------------------------
+# 18c. Deterministic corpus sampling (hash-bucketed; rand()-free so the
+#      oracle reproduces the exact row set)
+# ---------------------------------------------------------------------------
+
+_STRAT_FRACS = {"en": 0.5, "fr": 0.25}
+_STRAT_DEFAULT = 0.1
+_SPLIT_WEIGHTS = [0.8, 0.1, 0.1]
+
+
+def _sql_sample_bucket(salt: str) -> str:
+    salted = f"'{salt}#' || CAST(doc_id AS VARCHAR)"
+    return f"({md5_long_sql(salted)} % 10000)"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops import sample as sample_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return sample_ops.stratified_sample(
+        docs, _STRAT_FRACS, strata_col="lang",
+        default_fraction=_STRAT_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_sql_sample_bucket("stratified")} <
+      CASE lang WHEN 'en' THEN {int(_STRAT_FRACS["en"] * 10000)}
+                WHEN 'fr' THEN {int(_STRAT_FRACS["fr"] * 10000)}
+                ELSE {int(_STRAT_DEFAULT * 10000)} END
+"""
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops import sample as sample_ops
+
+    docs = _load(spark, sf_dir, "documents")
+    return sample_ops.split(docs, _SPLIT_WEIGHTS).select(
+        "doc_id", F.col("split_id").cast("long").alias("split_id")
+    )
+
+
+SQL_SAMPLE_SPLIT = f"""
+SELECT doc_id,
+       CAST(CASE WHEN b < 8000 THEN 0 WHEN b < 9000 THEN 1 ELSE 2 END
+            AS BIGINT) AS split_id
+FROM (SELECT doc_id, {_sql_sample_bucket("split")} AS b FROM documents) t
+"""
+
+
+# ---------------------------------------------------------------------------
 # 19-25. KG construction pipeline stages (pages -> extract -> mentions ->
 #        entities -> triples -> canonicalize)
 # ---------------------------------------------------------------------------
@@ -1637,6 +1688,37 @@ FROM tc
 """
 
 
+# Subquery: per-entity mention degree aggregated in an inner
+# { SELECT ... GROUP BY }, joined outward to the label pattern.
+SPARQL_SUBQUERY = """
+PREFIX kg: <http://kg.example.org/ontology#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+SELECT ?label ?deg WHERE {
+    ?ent rdfs:label ?label .
+    { SELECT ?ent (COUNT(?page) AS ?deg)
+      WHERE { ?page kg:mentions ?ent } GROUP BY ?ent }
+}
+"""
+
+
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sparql_select(_kg_trip(spark, sf_dir), SPARQL_SUBQUERY)
+    return df.select("label", F.col("deg").cast("long").alias("deg"))
+
+
+SQL_SPARQL_SUBQUERY = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t),
+deg AS (
+    SELECT obj AS ent, CAST(count(*) AS BIGINT) AS deg
+    FROM trip WHERE pred = '<{KG}ontology#mentions>' GROUP BY obj
+)
+SELECT t.obj AS label, deg.deg
+FROM trip t JOIN deg ON t.subj = deg.ent
+WHERE t.pred = '<http://www.w3.org/2000/01/rdf-schema#label>'
+"""
+
+
 # MINUS + HAVING + GROUP_CONCAT(DISTINCT) + STRSTARTS/STR in one
 # query: pages-per-entity excluding entities whose label starts with
 # 'a', keeping entities mentioned on more than 3 pages.
@@ -1948,6 +2030,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "kg_pages": (q_kg_pages, SQL_KG_PAGES),
     "kg_extract_text": (q_kg_extract_text, SQL_KG_EXTRACT_TEXT),
     "kg_mentions": (q_kg_mentions, SQL_KG_MENTIONS),
@@ -1968,6 +2052,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
     "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),
     "sparql_minus_having": (q_sparql_minus_having, SQL_SPARQL_MINUS_HAVING),
+    "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
 }
 

@@ -300,3 +300,52 @@ def test_winnow_fingerprints(spark, docs):
     assert not (by_doc[1] & by_doc[4])
     # empty text still yields exactly one fingerprint (hash of "")
     assert by_doc[6] == {int(hashlib.md5(b"").hexdigest()[:15], 16)}
+
+
+def test_hash_sample_deterministic(spark, docs):
+    from morph_xr2rml_spark.ops import sample
+
+    a = sorted(r["doc_id"] for r in sample.hash_sample(docs, 0.5).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample.hash_sample(docs.repartition(7), 0.5).collect()
+    )
+    assert a == b  # partitioning-independent, unlike DataFrame.sample
+    assert sample.hash_sample(docs, 0.0).count() == 0
+    assert sample.hash_sample(docs, 1.0).count() == docs.count()
+
+
+def test_stratified_sample(spark):
+    from morph_xr2rml_spark.ops import sample
+
+    rows_ = [(i, "txt", "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows_, "doc_id long, text string, lang string")
+    out = sample.stratified_sample(
+        df, {"en": 1.0, "fr": 0.0}, strata_col="lang"
+    )
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 1000}
+    # approximate fractions hold per stratum
+    half = sample.stratified_sample(df, {"en": 0.5}, default_fraction=0.25)
+    counts = {r["lang"]: r["count"] for r in half.groupBy("lang").count().collect()}
+    assert abs(counts["en"] - 500) < 100 and abs(counts["fr"] - 250) < 100
+
+
+def test_split_disjoint_and_stable(spark):
+    from morph_xr2rml_spark.ops import sample
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(3000)], "doc_id long"
+    )
+    s3 = sample.split(df, [0.8, 0.1, 0.1])
+    counts = {r["split_id"]: r["count"] for r in s3.groupBy("split_id").count().collect()}
+    assert set(counts) == {0, 1, 2}
+    assert abs(counts[0] - 2400) < 150
+    # every row in exactly one split
+    assert sum(counts.values()) == 3000
+    # stability: collapsing the last two splits never moves rows across
+    # the first boundary
+    s2 = sample.split(df, [0.8, 0.2])
+    first3 = {r["doc_id"] for r in s3.where("split_id = 0").collect()}
+    first2 = {r["doc_id"] for r in s2.where("split_id = 0").collect()}
+    assert first3 == first2
