@@ -98,3 +98,49 @@ def test_triples_projects_graphs(spark, source):
     # the same (s,p,o) asserted in two graphs appears once
     rows = [tuple(r) for r in tr.collect()]
     assert len(rows) == len(set(rows))
+
+
+def test_rdf_containers_bag_seq_alt(spark):
+    """xrr:RdfBag / RdfSeq / RdfAlt containers (reference
+    MorphBaseDataTranslator.createCollection:284-300): container node
+    typed rdf:Bag/Seq/Alt with rdf:_1..rdf:_n membership triples."""
+    from morph_xr2rml_spark.compiler import CompileOptions, MappingCompiler
+    from morph_xr2rml_spark.mapping import parse_mapping
+    from morph_xr2rml_spark.sources import SourceCatalog
+
+    rows = [(1, '["a","b"]'), (2, '["c"]'), (3, "[]")]
+    df = spark.createDataFrame(rows, "id long, vals string")
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    for ctype, cls in (("RdfBag", "Bag"), ("RdfSeq", "Seq"), ("RdfAlt", "Alt")):
+        ttl = f"""\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/> .
+
+<#TM>
+    xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/x/{{id}}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:vals;
+        rr:objectMap [ xrr:reference "Column(vals)/JSONPath($.*)"; rr:termType xrr:{ctype} ];
+    ];
+    .
+"""
+        catalog = SourceCatalog(spark).register("t", df)
+        doc = parse_mapping(ttl)
+        out = MappingCompiler(spark, doc, catalog, CompileOptions()).triples()
+        got = {tuple(r) for r in out.collect()}
+        subj1 = "<http://example.org/x/1>"
+        # container head triple -> a blank node, typed with the class
+        heads = {o for s, p, o in got if s == subj1 and p == "<http://example.org/vals>"}
+        assert len(heads) == 1
+        b = heads.pop()
+        assert b.startswith("_:")
+        assert (b, RDF_TYPE, f"<{RDF}{cls}>") in got
+        assert (b, f"<{RDF}_1>", '"a"') in got
+        assert (b, f"<{RDF}_2>", '"b"') in got
+        assert not any(p == f"<{RDF}_3>" for s, p, o in got if s == b)
+        # row 3 has no members -> no container at all
+        assert not any(s == "<http://example.org/x/3>" and p == "<http://example.org/vals>"
+                       for s, p, o in got)

@@ -349,3 +349,43 @@ def test_split_disjoint_and_stable(spark):
     first3 = {r["doc_id"] for r in s3.where("split_id = 0").collect()}
     first2 = {r["doc_id"] for r in s2.where("split_id = 0").collect()}
     assert first3 == first2
+
+
+def test_winnow_guarantee_property():
+    """Winnowing guarantee (Schleimer et al. 2003): two texts sharing a
+    run of >= w+k-1 tokens share at least one fingerprint. Pure-python
+    property check of the scheme the UDF implements (Spark parity is
+    pinned by test_winnow_fingerprints and the driver oracle)."""
+    import hashlib
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    k, w = 3, 4
+
+    def fps(toks):
+        grams = (
+            [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k else [" ".join(toks)]
+        )
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        if len(hs) <= w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    tok = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        shared=st.lists(tok, min_size=k + w - 1, max_size=10),
+        pre_a=st.lists(tok, max_size=5),
+        post_a=st.lists(tok, max_size=5),
+        pre_b=st.lists(tok, max_size=5),
+        post_b=st.lists(tok, max_size=5),
+    )
+    def check(shared, pre_a, post_a, pre_b, post_b):
+        a = pre_a + shared + post_a
+        b = pre_b + shared + post_b
+        assert fps(a) & fps(b)
+
+    check()
