@@ -81,3 +81,30 @@ def test_mention_dict_broadcast(spark):
     ex = extract.extract_text(p).select("page_id", "extracted_text")
     m = mentions.detect_mentions(ex, mentions.build_alias_dict(docs))
     assert "BroadcastHashJoin" in plan_of(m)
+
+
+def test_bucketed_triples_join_without_shuffle(spark, tmp_path):
+    """write_bucketed_triples materializes subj-bucketed sorted
+    buckets; a subject-keyed self-join of the table (the BGP join
+    shape) must read them co-located: no Exchange on either side."""
+    from morph_xr2rml_spark.sinks import (
+        read_triples_table,
+        write_bucketed_triples,
+    )
+
+    rows = [(f"<e:s{i % 50}>", f"<e:p{i % 3}>", f'"v{i}"') for i in range(500)]
+    trip = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    write_bucketed_triples(trip, "bucketed_trip_test", buckets=4)
+    try:
+        t = read_triples_table(spark, "bucketed_trip_test")
+        a = t.where("pred = '<e:p0>'").select("subj", "obj")
+        b = t.where("pred = '<e:p1>'").selectExpr("subj", "obj AS obj2")
+        with_shuffle_off_broadcast = a.join(b.hint("merge"), "subj")
+        plan = with_shuffle_off_broadcast._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing eliminated both shuffles
+        # and the join is still correct
+        n = with_shuffle_off_broadcast.count()
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_trip_test")
