@@ -1040,6 +1040,33 @@ SQL_TEXT_WINNOW = _sql_winnow()
 
 
 # ---------------------------------------------------------------------------
+# 18b'. Top-k vocabulary (heavy hitters: explode -> partial-agg count ->
+#       TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.vocab_topk(_load(spark, sf_dir, "documents"), k=_VOCAB_K)
+
+
+def _sql_vocab_topk() -> str:
+    norm = _sql_norm_text("text")
+    return f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(str_split({norm}, ' ')) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
+SQL_VOCAB_TOPK = _sql_vocab_topk()
+
+
+# ---------------------------------------------------------------------------
 # 18c. Deterministic corpus sampling (hash-bucketed; rand()-free so the
 #      oracle reproduces the exact row set)
 # ---------------------------------------------------------------------------
@@ -2030,6 +2057,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
     "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
+    "text_vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "kg_pages": (q_kg_pages, SQL_KG_PAGES),

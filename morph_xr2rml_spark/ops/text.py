@@ -201,3 +201,28 @@ def winnow_fingerprints(
     return df.select(
         F.col(id_col), F.explode(_win(F.col(text_col))).alias("fp")
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact corpus-wide top-k vocabulary: (token, n) for the k most
+    frequent normalized tokens, ties broken lexicographically.
+
+    The heavy-hitter plan at 100 TB: explode -> hash aggregate with
+    map-side partial counts (the shuffle carries one row per distinct
+    token per task, not per occurrence) -> TakeOrderedAndProject (each
+    task ships only its local top-k to the driver merge). All codegen
+    Column expressions; no UDF.
+    """
+    toks = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -389,3 +389,13 @@ def test_winnow_guarantee_property():
         assert fps(a) & fps(b)
 
     check()
+
+
+def test_vocab_topk(spark, docs):
+    out = text.vocab_topk(docs, k=3).collect()
+    assert [r["token"] for r in out][0] == "the"  # most frequent
+    assert all(out[i]["n"] >= out[i + 1]["n"] for i in range(len(out) - 1))
+    # ties broken lexicographically
+    for i in range(len(out) - 1):
+        if out[i]["n"] == out[i + 1]["n"]:
+            assert out[i]["token"] < out[i + 1]["token"]
