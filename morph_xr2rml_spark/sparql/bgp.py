@@ -24,7 +24,8 @@ selection — replacing the reference's hand-written optimizer rewrites
 Supported SPARQL subset (a superset of every query shape the
 reference's abstract algebra models): PREFIX, SELECT [DISTINCT]
 ?v... | *, basic graph patterns, property paths (p1/p2 sequence,
-p1|p2 alternation, ^p inverse, p+ / p* / p? closure — the closures
+p1|p2 alternation, ^p inverse, !p / !(p1|p2) negated property sets,
+p+ / p* / p? closure — the closures
 evaluated as a distributed semi-naive transitive-closure fixpoint),
 GRAPH <g>/{?g} groups over a quad table, OPTIONAL { ... }, UNION of
 group graph patterns, MINUS { ... }, FILTER with =, !=, <, <=, >, >=,
@@ -169,7 +170,7 @@ _TOKEN_RE = re.compile(
       | \w+:[\w.%-]*      # prefixed name
       | a\b               # rdf:type shorthand
       | [{}().;,]
-      | [/|^+*?]          # property-path operators
+      | [/|^+*?!]         # property-path operators (incl. !negation)
       | \S+
     """,
     re.VERBOSE,
@@ -562,7 +563,8 @@ def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
 # Property-path grammar (SPARQL 1.1 §9, over the statement tokens):
 #   path := seq ('|' seq)*
 #   seq  := step ('/' step)*
-#   step := '^' step | primary ('+'|'*'|'?')*
+#   step := '^' step | '!' nps | primary ('+'|'*'|'?')*
+#   nps  := iri | '(' iri ('|' iri)* ')'    (forward members only)
 #   primary := iri | prefixed | 'a' | '(' path ')'
 # A trivial path (a single forward predicate) stays a plain string, so
 # non-path triples compile exactly as before.
@@ -601,6 +603,33 @@ def _path_step(
     if toks[i] == "^":
         inner, i = _path_step(toks, i + 1, prefixes)
         node: Term | Path = Path("inv", [inner])
+    elif toks[i] == "!":
+        # negated property set: !iri or !(iri|iri|...) — forward
+        # members only (inverse members ^iri inside ! unsupported)
+        i += 1
+        members: list[str] = []
+        if i < len(toks) and toks[i] == "(":
+            i += 1
+            while i < len(toks) and toks[i] != ")":
+                if toks[i] == "|":
+                    i += 1
+                    continue
+                if toks[i] == "^":
+                    raise ValueError(
+                        "inverse members in a negated property set "
+                        "are not supported"
+                    )
+                members.append(_expand(toks[i], prefixes))
+                i += 1
+            if i >= len(toks):
+                raise ValueError("unbalanced parens in property path")
+            i += 1
+        else:
+            if i >= len(toks):
+                raise ValueError("unexpected end of property path")
+            members.append(_expand(toks[i], prefixes))
+            i += 1
+        node = Path("nps", members)
     elif toks[i] == "(":
         node, i = _parse_path(toks, i + 1, prefixes)
         if i >= len(toks) or toks[i] != ")":
@@ -952,6 +981,11 @@ def _path_pairs(triples: DataFrame, node: "Term | Path") -> DataFrame:
     closure operators as set-valued reachability, §9.3 ALP)."""
     if isinstance(node, str):
         return triples.where(F.col("pred") == F.lit(node)).select("subj", "obj")
+    if node.op == "nps":
+        # negated property set: any edge whose predicate is NOT listed
+        return triples.where(~F.col("pred").isin(node.args)).select(
+            "subj", "obj"
+        )
     if node.op == "inv":
         p = _path_pairs(triples, node.args[0])
         return p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))

@@ -722,3 +722,23 @@ def test_subquery_with_aggregate(triples):
         } ORDER BY ?s""",
     ).collect()
     assert [(r["n"], r["deg"]) for r in out] == [('"alice"', 1), ('"bob"', 1)]
+
+
+def test_path_negated_property_set(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?o WHERE { <http://example.org/p/1> !(ex:name|ex:age) ?o }""",
+        )
+    )
+    # everything about p/1 except name and age: knows + rdf:type
+    assert got == {(f"<{EX}p/2>",), (f"<{EX}Person>",)}
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?o WHERE { <http://example.org/p/3> !ex:missing ?o }""",
+        )
+    )
+    assert got == {('"carol"',)}  # p/3's only edge is its name
