@@ -1067,17 +1067,15 @@ class MappingCompiler:
         term = terms.term_col(
             lex, member_tt, datatype, language, self.options.encode_unsafe_chars_in_uri
         )
-        # Injectivity holds only for source types whose lexical forms
-        # are control-free and underscore-free (numeric/date): string
-        # values can collide after the reference-faithful chains —
-        # encode_literal squeezes '_' runs, reserved-char encoding
-        # leaves C0 controls for the IRI strip/trim to delete
-        # (property-tested in tests/test_encoding_properties.py) — and
-        # timestamp formatting truncates to 0.1s.
-        injective = (
-            member_tt == terms.TERM_LITERAL
-            and _control_free_lexical(dtype)
-            and datatype not in (terms.XSD_DATETIME, terms.XSD_BOOLEAN)
+        # Injectivity: literals now emit the RAW value + N-Triples
+        # escaping (see terms.make_literal — the reference discards its
+        # encodeLiteral/normalization results), and the escape map is
+        # injective, so every source type qualifies EXCEPT timestamps,
+        # whose lexical rendering truncates to 0.1s (lex_value_col).
+        # IRIs still pass through the lossy encode chains and stay
+        # non-injective here.
+        injective = member_tt == terms.TERM_LITERAL and not isinstance(
+            dtype, T.TimestampType
         )
         return _TermExpr(
             F.when(col.isNotNull(), term), is_array=False, refs=refs,

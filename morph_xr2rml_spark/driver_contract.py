@@ -1261,8 +1261,10 @@ def q_kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_kg_triples_core() -> str:
     """UNION ALL of every branch of the compiled KG mapping (pre-dedup)."""
     url_iri = _sql_iri(_SQL_URL)
+    # raw literal semantics (terms.make_literal): the java-Timestamp
+    # space-separated lexical form is emitted as-is, no 'T' conversion
     dt_lit = (
-        f"('\"' || replace(strftime({_SQL_TS}, '%Y-%m-%d %H:%M:%S') || '.0', ' ', 'T')"
+        f"('\"' || strftime({_SQL_TS}, '%Y-%m-%d %H:%M:%S') || '.0'"
         f" || '\"^^<{XSD_DT}>')"
     )
     return f"""

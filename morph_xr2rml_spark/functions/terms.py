@@ -19,8 +19,11 @@ Term-construction semantics follow MorphBaseDataTranslator
 (morph-base MorphBaseDataTranslator.scala:184-320):
   * createIRI (:236-242): encodeURI(trim) then, if the encode-unsafe flag is
     set (default true, MorphProperties.scala:45), encodeUrl.
-  * createLiteral (:249-274): encodeLiteral cleanup, then xsd:dateTime /
-    xsd:boolean lexical normalization.
+  * createLiteral (:249-274): emits the RAW value — the method computes
+    encodeLiteral + dateTime/boolean conversion but discards both,
+    constructing RDFTermLiteral from the original value (:267) that
+    createLiteralNode (:86-93) hands to Jena unchanged; the reference's
+    recorded e2e outputs confirm it (tests/test_dblp_suite.py replay).
   * null DB value => no term (translateMultipleValues :216-231).
 
 Datatype inference: the RDB path maps java.sql.Types to XSD
@@ -142,8 +145,8 @@ def make_iri(value: object, encode_unsafe_chars_in_uri: bool = True) -> str | No
 
 
 def _escape_ntriples(value: str) -> str:
-    # encode_literal already removed backslashes, quotes, newlines; keep a
-    # safety net for tabs/CR that could break one-triple-per-line output.
+    # N-Triples string escaping (serialization only, injective): raw
+    # literal values may contain backslashes/quotes/controls.
     return (
         value.replace("\\", "\\\\")
         .replace('"', '\\"')
@@ -160,19 +163,21 @@ def make_literal(
 ) -> str | None:
     """N-Triples literal (createLiteral, MorphBaseDataTranslator:249-274).
 
-    Applies encodeLiteral cleanup then dateTime/boolean normalization.
-    Note: the reference computes the converted value then constructs
-    RDFTermLiteral with the *raw* value (:268 — an apparent oversight); we
-    emit the converted value, which is the behavior its tests document.
+    The reference computes encodeLiteral + dateTime/boolean conversion
+    but then constructs RDFTermLiteral with the RAW value (:267) and
+    hands term.value straight to Jena (createLiteralNode :86-93), so
+    the emitted literal keeps the raw lexical form — confirmed by the
+    reference's own recorded e2e output (example_mongo_dblp/result.txt
+    contains '"Yes, it can be done".' with literal quotes, not %22;
+    replayed in tests/test_dblp_suite.py). We emit the raw value too;
+    the only transformation is N-Triples escaping, which is
+    serialization, not value mutation. encoding.encode_literal /
+    normalize_datetime / normalize_boolean remain as documented ports
+    of the (dead-at-this-call-site) utility functions.
     """
     s = lex_value_to_string(value)
     if s is None:
         return None
-    s = encoding.encode_literal(s)
-    if datatype == XSD_DATETIME:
-        s = encoding.normalize_datetime(s)
-    elif datatype == XSD_BOOLEAN:
-        s = encoding.normalize_boolean(s)
     s = _escape_ntriples(s)
     if language:
         return f'"{s}"@{language}'
@@ -248,12 +253,10 @@ def literal_col(
     datatype: str | None = None,
     language: str | None = None,
 ) -> Column:
-    c = encoding.encode_literal_col(col)
-    if datatype == XSD_DATETIME:
-        c = encoding.normalize_datetime_col(c)
-    elif datatype == XSD_BOOLEAN:
-        c = encoding.normalize_boolean_col(c)
-    c = escape_ntriples_col(c)
+    # raw value + N-Triples escaping only — see make_literal: the
+    # reference's encodeLiteral/normalization results are discarded at
+    # its only materialization call site, so emitted literals are raw
+    c = escape_ntriples_col(col)
     if language:
         return F.concat(F.lit('"'), c, F.lit('"@' + language))
     if datatype:

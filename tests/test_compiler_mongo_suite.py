@@ -131,9 +131,11 @@ def test_names_rdflist_with_weird_chars(triples):
     assert _list_members(triples, _students(1), f"<{EX}names>") == [
         [f'"Paul Smith"^^<{XSD}string>', f'"Jack Smith"^^<{XSD}string>']
     ]
-    # encodeLiteral: '"' -> %22; other specials pass through in literals
+    # raw literal semantics + N-Triples escaping: '"' -> \" in the term
+    # string (the reference discards its encodeLiteral result and emits
+    # the raw value — see terms.make_literal / the dblp replay)
     assert _list_members(triples, _students(3), f"<{EX}names>") == [
-        [f'"Weirdo Foo"^^<{XSD}string>', f'"#{{[|`^@]%22 Foo"^^<{XSD}string>']
+        [f'"Weirdo Foo"^^<{XSD}string>', f'"#{{[|`^@]\\" Foo"^^<{XSD}string>']
     ]
 
 

@@ -205,9 +205,11 @@ def test_control_chars_in_string_template(spark):
     ]
 
 
-def test_underscore_squeeze_in_string_literal(spark):
-    # encode_literal collapses '_' runs (reference cleanString), so
-    # 'a__b' and 'a_b' are the same literal — one triple
+def test_underscore_runs_stay_distinct_in_string_literal(spark):
+    # raw literal semantics: 'a__b' and 'a_b' are DIFFERENT literals
+    # (the reference's underscore-squeezing encodeLiteral result is
+    # discarded at its materialization call site) — two triples, and
+    # the now-injective string literal still dedups routed == pooled
     df = spark.createDataFrame([(1, "a__b"), (1, "a_b")], "id int, v string")
     ttl = PREFIX + """
 <#TM> xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
@@ -215,7 +217,7 @@ def test_underscore_squeeze_in_string_literal(spark):
   rr:predicateObjectMap [ rr:predicate ex:v; rr:objectMap [ rr:column "v" ] ] .
 """
     got = _routed_equals_pool(spark, ttl, {"t": df})
-    assert len(got) == 1
+    assert len(got) == 2
 
 
 def test_unique_key_elides_all_dedup_shuffles(spark):
