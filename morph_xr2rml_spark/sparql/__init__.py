@@ -3,6 +3,7 @@ from .bgp import (
     parse_sparql,
     sparql_construct,
     sparql_describe,
+    sparql_describe_where,
     sparql_select,
 )
 from .results import ask, parse_term, to_sparql_json, to_sparql_xml, write_csv, write_tsv
@@ -14,6 +15,7 @@ __all__ = [
     "parse_term",
     "sparql_construct",
     "sparql_describe",
+    "sparql_describe_where",
     "sparql_select",
     "to_sparql_json",
     "to_sparql_xml",

@@ -1480,3 +1480,36 @@ def sparql_describe(triples: DataFrame, resource: str) -> DataFrame:
     return triples.where(
         (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
     )
+
+
+def sparql_describe_where(triples: DataFrame, query: str) -> DataFrame:
+    """DESCRIBE ?v [?w ...] WHERE { ... }: evaluate the pattern, then
+    describe every term the projected variables bind to. Fully
+    distributed — the bound-node set stays a DataFrame and the
+    description is two semi-joins (subject side, object side), never a
+    collect of the node list."""
+    m = re.match(
+        r"\s*(?:PREFIX[^\n]*\n\s*)*DESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*\{",
+        _strip_comments(query),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError("not a DESCRIBE ?var WHERE query")
+    variables = re.findall(r"\?(\w+)", m.group(1))
+    select = re.sub(
+        r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\b",
+        "SELECT " + " ".join(f"?{v}" for v in variables) + " WHERE",
+        query,
+        count=1,
+        flags=re.IGNORECASE,
+    )
+    bindings = sparql_select(triples, select)
+    nodes = functools.reduce(
+        DataFrame.union,
+        [bindings.select(F.col(v).alias("n")) for v in variables],
+    ).distinct()
+    subj_side = triples.join(
+        nodes, triples["subj"] == nodes["n"], "left_semi"
+    )
+    obj_side = triples.join(nodes, triples["obj"] == nodes["n"], "left_semi")
+    return subj_side.unionByName(obj_side).dropDuplicates()

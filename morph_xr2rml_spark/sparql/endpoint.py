@@ -24,7 +24,7 @@ from urllib.parse import parse_qs, urlsplit
 
 from pyspark.sql import DataFrame
 
-from .bgp import sparql_construct, sparql_describe, sparql_select
+from .bgp import sparql_construct, sparql_describe, sparql_describe_where, sparql_select
 from .results import ask, to_sparql_json, to_sparql_xml
 
 _FORM_RE = re.compile(
@@ -68,9 +68,10 @@ def evaluate(
             out = sparql_construct(triples, query)
         else:
             m = re.search(r"DESCRIBE\s+(<[^>]*>)", query, re.IGNORECASE)
-            if not m:
-                raise ValueError("only DESCRIBE <iri> is supported")
-            out = sparql_describe(triples, m.group(1))
+            if m:
+                out = sparql_describe(triples, m.group(1))
+            else:
+                out = sparql_describe_where(triples, query)
         rows = out.limit(max_rows).collect()
         nt = "".join(f"{r['subj']} {r['pred']} {r['obj']} .\n" for r in rows)
         return ("application/n-triples", nt)

@@ -742,3 +742,19 @@ def test_path_negated_property_set(triples):
         )
     )
     assert got == {('"carol"',)}  # p/3's only edge is its name
+
+
+def test_describe_where(triples):
+    from morph_xr2rml_spark.sparql import sparql_describe_where
+
+    out = sparql_describe_where(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        DESCRIBE ?x WHERE { ?x ex:age ?a . FILTER(?a >= 18) }""",
+    )
+    got = rows(out)
+    # p/1 is the only adult: every triple with p/1 as subject or object
+    assert (f"<{EX}p/1>", f"<{EX}name>", '"alice"') in got
+    assert (f"<{EX}p/1>", f"<{EX}knows>", f"<{EX}p/2>") in got
+    assert all(f"<{EX}p/1>" in (s, o) for s, _, o in got)
+    assert len(got) == 4  # name, age, knows, rdf:type
