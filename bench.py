@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
     "text_analysis",
+    "text_winnow_fingerprints",
+    "text_vocab_topk",
+    "sample_stratified",
     "multimodal_features",
     "sparql_bgp_join",
     "sparql_group_count",

@@ -758,3 +758,41 @@ def test_describe_where(triples):
     assert (f"<{EX}p/1>", f"<{EX}knows>", f"<{EX}p/2>") in got
     assert all(f"<{EX}p/1>" in (s, o) for s, _, o in got)
     assert len(got) == 4  # name, age, knows, rdf:type
+
+
+def test_parser_whitespace_and_comment_invariance():
+    """Property: inserting comments / varying inter-token whitespace
+    does not change the parse (guards the regex/recursive-descent
+    parser against formatting sensitivity)."""
+    from hypothesis import given, settings, strategies as st
+
+    base = (
+        "PREFIX ex: <http://example.org/>\n"
+        "SELECT DISTINCT ?a ?b WHERE {\n"
+        "?a ex:knows ?b .\n"
+        "OPTIONAL { ?b ex:age ?g }\n"
+        "FILTER(BOUND(?g) && ?g > 3)\n"
+        "} ORDER BY ?a LIMIT 7"
+    )
+    want = parse_sparql(base)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        pad=st.lists(
+            st.sampled_from([" ", "  ", "\n", "\t", "\n# a comment\n"]),
+            min_size=6,
+            max_size=6,
+        )
+    )
+    def check(pad):
+        q = (
+            f"PREFIX ex: <http://example.org/>{pad[0]}"
+            f"SELECT DISTINCT ?a ?b{pad[1]}WHERE {{{pad[2]}"
+            f"?a ex:knows ?b .{pad[3]}"
+            f"OPTIONAL {{ ?b ex:age ?g }}{pad[4]}"
+            f"FILTER(BOUND(?g) && ?g > 3)\n"
+            f"}}{pad[5]}ORDER BY ?a LIMIT 7"
+        )
+        assert parse_sparql(q) == want
+
+    check()
