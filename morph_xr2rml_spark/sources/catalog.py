@@ -6,7 +6,8 @@ Covers the reference's source operators (SURVEY §2.1):
   S3 collection scan   xrr:query "db.X.find({...})"
                        (MongoDBQuery.parseQueryString:67-86) — find
                        documents with field equality, $eq/$ne/$gt/$gte/
-                       $lt/$lte, $in/$nin, $exists, and $and/$or
+                       $lt/$lte, $in/$nin, $exists, $size,
+                       $elemMatch, and $and/$or
                        compile to Catalyst predicates over the doc
                        column (the reference ships them to MongoDB; we
                        evaluate the same predicate on the JSON column)
@@ -222,22 +223,24 @@ class SourceCatalog:
                 )
                 conds.append(combined)
                 continue
-            col = self._field_col(df, name, key)
+            col, json_field = self._field_col(df, name, key)
             if isinstance(val, dict):
                 for op, operand in val.items():
-                    conds.append(_find_op(col, op, operand))
+                    conds.append(_find_op(col, op, operand, json_field))
             else:
-                conds.append(_find_op(col, "$eq", val))
+                conds.append(_find_op(col, "$eq", val, json_field))
         return functools.reduce(operator.and_, conds)
 
-    def _field_col(self, df: DataFrame, name: str, field: str) -> Column:
+    def _field_col(self, df: DataFrame, name: str, field: str) -> tuple[Column, bool]:
+        """-> (column, is_json): is_json means the column holds the
+        field's JSON text extracted from a document column."""
         doc_col = self.doc_columns.get(name)
         if doc_col is None and len(df.columns) == 1:
             doc_col = df.columns[0]
         if doc_col is not None and doc_col in df.columns:
-            return F.get_json_object(F.col(doc_col), "$." + field)
+            return F.get_json_object(F.col(doc_col), "$." + field), True
         if field in df.columns:
-            return F.col(field)
+            return F.col(field), False
         raise ValueError(f"find() field {field!r} not resolvable on {df.columns}")
 
 
@@ -253,7 +256,45 @@ def _find_cmp_value(col: Column, v) -> tuple[Column, Column]:
     return col, F.lit(str(v))
 
 
-def _find_op(col: Column, op: str, operand) -> Column:
+def _find_elem_cmp(elem: Column, op: str, v) -> Column:
+    """One $elemMatch sub-condition against an array element."""
+    if op not in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+        raise ValueError(f"unsupported $elemMatch operator {op!r}")
+    lhs, rhs = _find_cmp_value(elem, v)
+    return {
+        "$eq": lhs == rhs,
+        "$ne": lhs != rhs,
+        "$gt": lhs > rhs,
+        "$gte": lhs >= rhs,
+        "$lt": lhs < rhs,
+        "$lte": lhs <= rhs,
+    }[op]
+
+
+def _find_op(col: Column, op: str, operand, json_field: bool = True) -> Column:
+    if op == "$size":
+        # array cardinality (reference dump usage:
+        # db.movies2.find({actors: {$size: 2, ...}}))
+        if not isinstance(operand, int) or isinstance(operand, bool):
+            raise ValueError("$size requires an integer")
+        length = (
+            F.json_array_length(col) if json_field else F.size(col)
+        )
+        return length == F.lit(operand)
+    if op == "$elemMatch":
+        # any array element satisfies every sub-condition; JSON array
+        # text parses to array<string> (primitive elements render as
+        # their lexical forms), row-shaped arrays pass through
+        if not isinstance(operand, dict) or not operand:
+            raise ValueError("$elemMatch requires a non-empty document")
+        arr = F.from_json(col, "array<string>") if json_field else col
+        return F.exists(
+            arr,
+            lambda e: functools.reduce(
+                operator.and_,
+                [_find_elem_cmp(e, o, v) for o, v in operand.items()],
+            ),
+        )
     if op == "$exists":
         want = operand in (1, True, "1", "true")
         return col.isNotNull() if want else col.isNull()

@@ -94,3 +94,46 @@ def test_find_in_exists_and(spark, people):
 def test_find_unsupported_raises(spark, people):
     with pytest.raises(ValueError):
         _find(spark, people, "{name: {$regex: 'a.*'}}")
+
+
+@pytest.fixture(scope="module")
+def movies(spark):
+    # mirrors the reference dump's movies2 collection
+    # (example_mongo_awards/testdb_dump.json: db.movies2.find(
+    #  {actors: {$size: 2, $elemMatch: {$eq: "T. Leung"}}}))
+    rows = [
+        ('{"name": "2046", "actors": ["T. Leung", "G. Li"]}',),
+        ('{"name": "Mood", "actors": ["M. Cheung"]}',),
+        ('{"name": "Manhattan", "actors": ["Woody Allen", "Diane Keaton"]}',),
+        ('{"name": "Int01", "actors": ["D. Keaton", "G. Page", "X"]}',),
+    ]
+    return spark.createDataFrame(rows, "doc string")
+
+
+def _find_movies(spark, movies, query):
+    catalog = SourceCatalog(spark).register("movies", movies, doc_column="doc")
+    ls = LogicalSource(
+        kind="query", value=f"db.movies.find({query})", formulation="JSONPath"
+    )
+    df, doc_col = catalog.resolve(ls)
+    import json
+
+    return {json.loads(r[doc_col])["name"] for r in df.collect()}
+
+
+def test_find_size(spark, movies):
+    assert _find_movies(spark, movies, "{actors: {$size: 2}}") == {
+        "2046",
+        "Manhattan",
+    }
+    assert _find_movies(spark, movies, "{actors: {$size: 1}}") == {"Mood"}
+
+
+def test_find_elem_match(spark, movies):
+    # the reference dump's exact query shape
+    got = _find_movies(
+        spark, movies, '{actors: {$size: 2, $elemMatch: {$eq: "T. Leung"}}}'
+    )
+    assert got == {"2046"}
+    got = _find_movies(spark, movies, '{actors: {$elemMatch: {$gt: "W"}}}')
+    assert got == {"Manhattan", "Int01"}  # "Woody Allen", "X" > "W"
