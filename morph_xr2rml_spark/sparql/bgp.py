@@ -1444,12 +1444,21 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     prefixes = dict(_PREFIX_RE.findall(query))
     body = _PREFIX_RE.sub("", query)
     mc = _CONSTRUCT_RE.search(body)
-    if not mc:
-        raise ValueError("not a CONSTRUCT query")
-    template = _parse_triples(mc.group("template"), prefixes)
-    start = body.index("{", mc.end() - 1)
-    end = _match_brace(body, start)
-    where = _parse_group(body[start + 1 : end], prefixes)
+    if mc:
+        template = _parse_triples(mc.group("template"), prefixes)
+        start = body.index("{", mc.end() - 1)
+        end = _match_brace(body, start)
+        where = _parse_group(body[start + 1 : end], prefixes)
+    else:
+        # SPARQL 1.1 shorthand: CONSTRUCT WHERE { tp... } — the WHERE
+        # patterns are the template (plain BGP only, per the spec)
+        ms = re.search(r"CONSTRUCT\s+WHERE\s*\{", body, re.IGNORECASE)
+        if not ms:
+            raise ValueError("not a CONSTRUCT query")
+        start = ms.end() - 1
+        end = _match_brace(body, start)
+        template = _parse_triples(body[start + 1 : end], prefixes)
+        where = Group(patterns=list(template))
     bindings = _group_df(triples, where)
 
     def term_col(t: Term) -> Column:
@@ -1488,8 +1497,8 @@ def sparql_describe_where(triples: DataFrame, query: str) -> DataFrame:
     distributed — the bound-node set stays a DataFrame and the
     description is two semi-joins (subject side, object side), never a
     collect of the node list."""
-    m = re.match(
-        r"\s*(?:PREFIX[^\n]*\n\s*)*DESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*\{",
+    m = re.search(
+        r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*\{",
         _strip_comments(query),
         re.IGNORECASE,
     )

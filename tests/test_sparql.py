@@ -796,3 +796,41 @@ def test_parser_whitespace_and_comment_invariance():
         assert parse_sparql(q) == want
 
     check()
+
+
+def test_construct_where_shorthand(triples):
+    from morph_xr2rml_spark.sparql import sparql_construct
+
+    out = sparql_construct(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        CONSTRUCT WHERE { ?x ex:knows ?y }""",
+    )
+    got = rows(out)
+    assert got == {
+        (f"<{EX}p/1>", f"<{EX}knows>", f"<{EX}p/2>"),
+        (f"<{EX}p/2>", f"<{EX}knows>", f"<{EX}p/3>"),
+    }
+
+
+def test_endpoint_describe_var(spark, triples):
+    import urllib.request
+
+    from morph_xr2rml_spark.sparql.endpoint import SparqlEndpoint
+
+    ep = SparqlEndpoint(triples).start()
+    try:
+        q = urllib.request.quote(
+            "PREFIX ex: <http://example.org/> "
+            "DESCRIBE ?x WHERE { ?x ex:age ?a . FILTER(?a >= 18) }"
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{ep.port}/sparql?query={q}", timeout=60
+        ) as resp:
+            body = resp.read().decode()
+            assert resp.headers["Content-Type"].startswith("application/n-triples")
+    finally:
+        ep.stop()
+    lines = {l for l in body.splitlines() if l.strip()}
+    assert f"<{EX}p/1> <{EX}name> \"alice\" ." in lines
+    assert len(lines) == 4
