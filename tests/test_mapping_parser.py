@@ -148,3 +148,27 @@ def test_shortcut_and_constant_forms():
     assert p2.object_maps[0].kind == COLUMN
     assert p2.object_maps[0].language == "fr"
     assert p2.object_maps[0].infer_term_type() == terms.TERM_LITERAL
+
+
+def test_parse_taxref_real_world_mappings():
+    """The reference's hardest real mappings (example_taxref, 90 triples
+    maps each): named shared SubjectMap resources referenced by IRI,
+    triple-quoted find() queries with $where JS, dense prefix blocks
+    without trailing spaces — all must parse, with shared subject maps
+    resolved onto every referencing TriplesMap."""
+    import pathlib
+
+    for v in ("v8", "v9"):
+        text = pathlib.Path(
+            f"/root/reference/morph-xr2rml-dist/example_taxref/xr2rml_taxref_{v}.ttl"
+        ).read_text()
+        doc = parse_mapping(text, default_formulation="JSONPath")
+        assert len(doc.triples_maps) == 90
+        tm = doc.triples_maps["#TM_Taxon"]
+        major = v[1]
+        assert (
+            tm.subject_map.template
+            == f"http://inpn.mnhn.fr/taxref/{major}.0/taxon/{{$.codeTaxon}}"
+        )
+        # the shared <#SM_Taxon> carries the class too
+        assert any("skos" in c for c in tm.subject_map.class_uris)
