@@ -39,6 +39,12 @@ _MONGO_FIND_RE = re.compile(
 
 _BARE_KEY_RE = re.compile(r"([{\s,])(\$?[\w.]+)\s*:")
 
+_WHERE_CMP_RE = re.compile(
+    r"^\s*this\.(?P<l>[\w.]+)\s*(?P<op>==|!=|<=|>=|<|>)\s*"
+    r"(?:this\.(?P<r>[\w.]+)|'(?P<s>[^']*)'|\"(?P<s2>[^\"]*)\""
+    r"|(?P<n>-?\d+(?:\.\d+)?))\s*$"
+)
+
 
 def _parse_find_json(q: str) -> dict:
     """Tolerant parse of a find() document: bare keys and single-quoted
@@ -223,12 +229,47 @@ class SourceCatalog:
                 )
                 conds.append(combined)
                 continue
+            if key == "$where":
+                conds.append(self._compile_where(df, name, val))
+                continue
             col, json_field = self._field_col(df, name, key)
             if isinstance(val, dict):
                 for op, operand in val.items():
                     conds.append(_find_op(col, op, operand, json_field))
             else:
                 conds.append(_find_op(col, "$eq", val, json_field))
+        return functools.reduce(operator.and_, conds)
+
+    def _compile_where(self, df: DataFrame, name: str, expr: str) -> Column:
+        """$where JavaScript predicate -> Catalyst (the JS subset the
+        reference's JavascriptToMongoTranslator models and its taxref
+        example mappings actually use: `this.f <cmp> this.g|literal`
+        joined by &&)."""
+        if not isinstance(expr, str) or not expr.strip():
+            raise ValueError(f"unsupported $where expression: {expr!r}")
+        conds: list[Column] = []
+        for part in expr.split("&&"):
+            m = _WHERE_CMP_RE.match(part)
+            if not m:
+                raise ValueError(f"unsupported $where clause: {part!r}")
+            lcol, _ = self._field_col(df, name, m.group("l"))
+            if m.group("r") is not None:
+                lhs, rhs = lcol, self._field_col(df, name, m.group("r"))[0]
+            elif m.group("n") is not None:
+                lhs, rhs = _find_cmp_value(lcol, float(m.group("n")))
+            else:
+                sval = m.group("s") if m.group("s") is not None else m.group("s2")
+                lhs, rhs = lcol, F.lit(sval)
+            conds.append(
+                {
+                    "==": lhs == rhs,
+                    "!=": lhs != rhs,
+                    "<": lhs < rhs,
+                    "<=": lhs <= rhs,
+                    ">": lhs > rhs,
+                    ">=": lhs >= rhs,
+                }[m.group("op")]
+            )
         return functools.reduce(operator.and_, conds)
 
     def _field_col(self, df: DataFrame, name: str, field: str) -> tuple[Column, bool]:

@@ -137,3 +137,69 @@ def test_find_elem_match(spark, movies):
     assert got == {"2046"}
     got = _find_movies(spark, movies, '{actors: {$elemMatch: {$gt: "W"}}}')
     assert got == {"Manhattan", "Int01"}  # "Woody Allen", "X" > "W"
+
+
+def test_find_where_js_predicate(spark, people):
+    # reference JavascriptToMongoTranslator subset: this.f == this.g
+    rows = [
+        ('{"a": 1, "b": 1, "name": "x"}',),
+        ('{"a": 1, "b": 2, "name": "y"}',),
+    ]
+    df = spark.createDataFrame(rows, "doc string")
+    catalog = SourceCatalog(spark).register("t", df, doc_column="doc")
+    ls = LogicalSource(
+        kind="query",
+        value="db.t.find( { $where: 'this.a == this.b' } )",
+        formulation="JSONPath",
+    )
+    out, doc_col = catalog.resolve(ls)
+    import json
+
+    assert {json.loads(r[doc_col])["name"] for r in out.collect()} == {"x"}
+
+
+def test_taxref_real_mapping_compiles_end_to_end(spark):
+    """The reference's flagship real-world example (example_taxref,
+    90 triples maps over a Mongo taxonomy with $where JS find
+    predicates) compiles and emits through this engine on synthetic
+    documents: reference names (codeTaxon == codeReference) become
+    skos:Concepts, synonyms route to the alt-label TMs instead."""
+    import json as _json
+    import pathlib
+
+    from morph_xr2rml_spark.compiler import CompileOptions, MappingCompiler
+    from morph_xr2rml_spark.mapping import parse_mapping
+
+    docs = []
+    for i in range(1, 6):
+        docs.append({
+            "codeTaxon": i,
+            "codeReference": (i if i % 2 == 1 else 100),
+            "codeParent": 1, "libelleNom": f"Nom {i}",
+            "libelleAuteur": "Auth", "rang": "ES", "habitat": "1",
+            "fr": "P", "gf": "", "guf": "", "cli": "", "epa": "", "gua": "",
+        })
+    df = spark.createDataFrame(
+        [(_json.dumps(d),) for d in docs], "doc string"
+    )
+    catalog = SourceCatalog(spark).register("taxrefv9", df, doc_column="doc")
+    text = pathlib.Path(
+        "/root/reference/morph-xr2rml-dist/example_taxref/xr2rml_taxref_v9.ttl"
+    ).read_text()
+    mapping = parse_mapping(text, default_formulation="JSONPath")
+    trip = MappingCompiler(spark, mapping, catalog, CompileOptions()).triples()
+    got = {tuple(r) for r in trip.collect()}
+    TAXON = "http://inpn.mnhn.fr/taxref/9.0/taxon"
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    # odd codes are reference names -> skos:Concept + note
+    assert (f"<{TAXON}/1>", f"<{SKOS}note>", '"Nom 1"') in got
+    assert (
+        f"<{TAXON}/1>",
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+        f"<{SKOS}Concept>",
+    ) in got
+    # even codes are synonyms ($where !=): no Concept typing for them,
+    # and the alt-label TM attaches their label to the REFERENCE taxon
+    assert not any(s == f"<{TAXON}/2>" and o == f"<{SKOS}Concept>" for s, _, o in got)
+    assert any(s == f"<{TAXON}/100>" for s, _, o in got)
+    assert len(got) > 100
