@@ -108,6 +108,10 @@ def test_dedup_stream_first_seen(spark, tmp_path_factory):
     })
     pq.write_table(b1, str(ddir / "a-batch1.parquet"))
     pq.write_table(b2, str(ddir / "b-batch2.parquet"))
+    # the file stream orders batches by modification time; same-second
+    # writes tie and flip batch order run-to-run — pin distinct mtimes
+    now = os.stat(str(ddir / "b-batch2.parquet")).st_mtime
+    os.utime(str(ddir / "a-batch1.parquet"), (now - 60, now - 60))
 
     stream = incremental.stream_documents(
         spark, str(ddir), max_files_per_trigger=1
