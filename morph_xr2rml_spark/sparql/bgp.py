@@ -1459,6 +1459,11 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
         end = _match_brace(body, start)
         template = _parse_triples(body[start + 1 : end], prefixes)
         where = Group(patterns=list(template))
+    for tp in template:
+        if isinstance(tp.p, Path):
+            raise ValueError(
+                "property paths are not allowed in a CONSTRUCT template"
+            )
     bindings = _group_df(triples, where)
 
     def term_col(t: Term) -> Column:

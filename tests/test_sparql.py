@@ -834,3 +834,14 @@ def test_endpoint_describe_var(spark, triples):
     lines = {l for l in body.splitlines() if l.strip()}
     assert f"<{EX}p/1> <{EX}name> \"alice\" ." in lines
     assert len(lines) == 4
+
+
+def test_construct_rejects_path_template(triples):
+    from morph_xr2rml_spark.sparql import sparql_construct
+
+    with pytest.raises(ValueError, match="property paths"):
+        sparql_construct(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            CONSTRUCT { ?x ex:a/ex:b ?y } WHERE { ?x ex:knows ?y }""",
+        )
