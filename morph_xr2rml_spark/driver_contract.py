@@ -1018,8 +1018,12 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_winnow() -> str:
     norm = _sql_norm_text("text")
     h = "(('0x' || substr(md5(g), 1, 15))::bigint)"
+    # text IS NOT NULL: the Spark UDF returns [] for NULL text (row
+    # dropped by explode); without the guard DuckDB's NULL propagation
+    # would instead emit a (doc_id, NULL) fingerprint row
     return f"""
-WITH tok AS (SELECT doc_id, str_split({norm}, ' ') AS toks FROM documents),
+WITH tok AS (SELECT doc_id, str_split({norm}, ' ') AS toks
+             FROM documents WHERE text IS NOT NULL),
 g AS (SELECT doc_id,
              CASE WHEN len(toks) >= {_WIN_K}
                   THEN [array_to_string(toks[i:i+{_WIN_K - 1}], ' ')

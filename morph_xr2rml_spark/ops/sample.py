@@ -108,8 +108,14 @@ def split(
     """Assign every row to exactly one of ``len(weights)`` disjoint
     splits (0-indexed ``split_col``), deterministically per id.
 
-    Weights are normalized; boundaries are cumulative, so appending a
-    new split only moves rows out of the LAST one (stable holdouts).
+    Weights are normalized and boundaries are cumulative, so membership
+    of the EARLIER splits is stable under any re-partitioning of the
+    LATER weight mass at the same total — e.g. [0.8, 0.2] vs
+    [0.8, 0.1, 0.1] keep split 0 identical (subdividing the tail).
+    Changing the total (e.g. appending weight to [0.8, 0.2] to make
+    [0.8, 0.2, 0.5]) renormalizes every boundary and DOES move rows;
+    to grow a holdout without touching train membership, re-split the
+    tail mass instead.
     """
     if not weights or any(w < 0 for w in weights):
         raise ValueError(f"weights must be non-negative, got {weights}")

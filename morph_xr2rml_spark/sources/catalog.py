@@ -247,29 +247,46 @@ class SourceCatalog:
         joined by &&)."""
         if not isinstance(expr, str) or not expr.strip():
             raise ValueError(f"unsupported $where expression: {expr!r}")
+        def cmp(op: str, lhs: Column, rhs: Column) -> Column:
+            return {
+                "==": lhs == rhs,
+                "!=": lhs != rhs,
+                "<": lhs < rhs,
+                "<=": lhs <= rhs,
+                ">": lhs > rhs,
+                ">=": lhs >= rhs,
+            }[op]
+
         conds: list[Column] = []
         for part in expr.split("&&"):
             m = _WHERE_CMP_RE.match(part)
             if not m:
                 raise ValueError(f"unsupported $where clause: {part!r}")
+            op = m.group("op")
             lcol, _ = self._field_col(df, name, m.group("l"))
             if m.group("r") is not None:
-                lhs, rhs = lcol, self._field_col(df, name, m.group("r"))[0]
+                rcol = self._field_col(df, name, m.group("r"))[0]
+                if op in ("<", "<=", ">", ">="):
+                    # ordered field-to-field comparison: JSON text would
+                    # compare lexicographically ('9' < '10' is false) —
+                    # compare numerically when both sides parse as
+                    # numbers (the JS semantics for numeric fields),
+                    # lexically otherwise
+                    ln, rn = lcol.cast("double"), rcol.cast("double")
+                    both_num = ln.isNotNull() & rn.isNotNull()
+                    conds.append(
+                        F.when(both_num, cmp(op, ln, rn)).otherwise(
+                            cmp(op, lcol, rcol)
+                        )
+                    )
+                    continue
+                lhs, rhs = lcol, rcol
             elif m.group("n") is not None:
                 lhs, rhs = _find_cmp_value(lcol, float(m.group("n")))
             else:
                 sval = m.group("s") if m.group("s") is not None else m.group("s2")
                 lhs, rhs = lcol, F.lit(sval)
-            conds.append(
-                {
-                    "==": lhs == rhs,
-                    "!=": lhs != rhs,
-                    "<": lhs < rhs,
-                    "<=": lhs <= rhs,
-                    ">": lhs > rhs,
-                    ">=": lhs >= rhs,
-                }[m.group("op")]
-            )
+            conds.append(cmp(op, lhs, rhs))
         return functools.reduce(operator.and_, conds)
 
     def _field_col(self, df: DataFrame, name: str, field: str) -> tuple[Column, bool]:
@@ -298,18 +315,12 @@ def _find_cmp_value(col: Column, v) -> tuple[Column, Column]:
 
 
 def _find_elem_cmp(elem: Column, op: str, v) -> Column:
-    """One $elemMatch sub-condition against an array element."""
+    """One $elemMatch sub-condition against an array element —
+    delegates to _find_op so null handling ($eq null -> isNull) and the
+    comparison typing stay identical to top-level field predicates."""
     if op not in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
         raise ValueError(f"unsupported $elemMatch operator {op!r}")
-    lhs, rhs = _find_cmp_value(elem, v)
-    return {
-        "$eq": lhs == rhs,
-        "$ne": lhs != rhs,
-        "$gt": lhs > rhs,
-        "$gte": lhs >= rhs,
-        "$lt": lhs < rhs,
-        "$lte": lhs <= rhs,
-    }[op]
+    return _find_op(elem, op, v, json_field=False)
 
 
 def _find_op(col: Column, op: str, operand, json_field: bool = True) -> Column:

@@ -80,8 +80,10 @@ class Filter:
 class Path:
     """A SPARQL 1.1 property-path expression at the predicate position.
 
-    op: 'seq' | 'alt' | 'inv' | 'plus' | 'star' | 'opt', over Path or
-    plain predicate-IRI strings (the leaf case never constructs a Path).
+    op: 'seq' | 'alt' | 'inv' | 'plus' | 'star' | 'opt' | 'nps'
+    (negated property set, args = excluded predicate IRIs), over Path
+    or plain predicate-IRI strings (the leaf case never constructs a
+    Path).
     """
 
     op: str
@@ -448,7 +450,9 @@ def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
         elif kind == "filter":
             g.filters.append(Filter(_parse_filter(chunk, prefixes)))
         elif kind == "union":
-            g.unions.append([_parse_group(b, prefixes) for b in chunk])
+            g.unions.append(
+                [_parse_union_branch(b, prefixes) for b in chunk]
+            )
         elif kind == "graph":
             gterm, body = chunk
             g.graphs.append((_expand(gterm, prefixes), _parse_group(body, prefixes)))
@@ -465,6 +469,14 @@ def _parse_group(src: str, prefixes: dict[str, str]) -> Group:
         elif kind == "subselect":
             g.subselects.append(_parse_select(chunk, prefixes))
     return g
+
+
+def _parse_union_branch(src: str, prefixes: dict[str, str]) -> Group:
+    """A UNION branch may itself be a subquery ({ SELECT ... } UNION
+    { ... }); anything else is an ordinary group graph pattern."""
+    if re.match(r"\s*SELECT\b", src, re.IGNORECASE):
+        return Group(subselects=[_parse_select(src, prefixes)])
+    return _parse_group(src, prefixes)
 
 
 _BIND_RE = re.compile(r"^(?P<expr>.*\S)\s+AS\s+\?(?P<var>\w+)\s*$", re.DOTALL)
@@ -542,6 +554,8 @@ def _parse_values(
 
 
 def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
+    """Triple patterns with ';' predicate-object lists and ',' object
+    lists (Turtle-style abbreviation, SPARQL 1.1 §4.2.1)."""
     out: list[TriplePattern] = []
     for stmt in _split_statements(chunk):
         toks = [t for t in _TOKEN_RE.findall(stmt) if t not in {".", ""}]
@@ -549,14 +563,31 @@ def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
         while i < len(toks):
             s = _expand(toks[i], prefixes)
             i += 1
-            if i >= len(toks):
-                raise ValueError(f"cannot parse triple pattern: {stmt!r}")
-            p, i = _parse_path(toks, i, prefixes)
-            if i >= len(toks):
-                raise ValueError(f"cannot parse triple pattern: {stmt!r}")
-            o = _expand(toks[i], prefixes)
-            i += 1
-            out.append(TriplePattern(s, p, o))
+            more_preds = True
+            while more_preds:
+                if i >= len(toks):
+                    raise ValueError(f"cannot parse triple pattern: {stmt!r}")
+                p, i = _parse_path(toks, i, prefixes)
+                if isinstance(p, Path):
+                    _check_path_vars(p)
+                more_objs = True
+                while more_objs:
+                    if i >= len(toks):
+                        raise ValueError(
+                            f"cannot parse triple pattern: {stmt!r}"
+                        )
+                    o = _expand(toks[i], prefixes)
+                    i += 1
+                    out.append(TriplePattern(s, p, o))
+                    more_objs = i < len(toks) and toks[i] == ","
+                    if more_objs:
+                        i += 1
+                more_preds = i < len(toks) and toks[i] == ";"
+                if more_preds:
+                    i += 1
+                    # tolerate a trailing ';' before '.' / end of chunk
+                    if i >= len(toks):
+                        more_preds = False
     return out
 
 
@@ -590,6 +621,20 @@ def _path_seq(
         nxt, i = _path_step(toks, i + 1, prefixes)
         steps.append(nxt)
     return (steps[0] if len(steps) == 1 else Path("seq", steps)), i
+
+
+def _check_path_vars(node: "Term | Path") -> None:
+    """SPARQL 1.1 forbids variables inside property-path expressions
+    (a bare ?p predicate is fine — it never constructs a Path); raise
+    rather than compile to a pred == '?p' filter that silently matches
+    nothing."""
+    if isinstance(node, Path):
+        for a in node.args:
+            _check_path_vars(a)
+    elif isinstance(node, str) and node.startswith("?"):
+        raise ValueError(
+            "variables are not allowed inside property-path expressions"
+        )
 
 
 _PATH_MODS = {"+": "plus", "*": "star", "?": "opt"}
@@ -1298,10 +1343,13 @@ def _filter_col(node: FilterNode, df: DataFrame) -> Column:
             "contains": a.contains(b),
         }[op]
     if op == "langmatches":
-        tag = _as_lexical(node.args[0], df)
-        rng = _as_lexical(node.args[1], df)
+        # RFC 4647 basic filtering (SPARQL 1.1 langMatches): '*' matches
+        # any non-empty tag; a basic range matches a tag it equals or
+        # prefixes at a '-' boundary ('en' matches 'en-US')
+        tag = F.lower(_as_lexical(node.args[0], df))
+        rng = F.lower(_as_lexical(node.args[1], df))
         return F.when(rng == "*", tag != "").otherwise(
-            F.lower(tag) == F.lower(rng)
+            (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
         )
     if op not in _CMP_OPS:
         raise ValueError(f"boolean expression expected in FILTER, got {op!r}")

@@ -203,3 +203,27 @@ def test_taxref_real_mapping_compiles_end_to_end(spark):
     assert not any(s == f"<{TAXON}/2>" and o == f"<{SKOS}Concept>" for s, _, o in got)
     assert any(s == f"<{TAXON}/100>" for s, _, o in got)
     assert len(got) > 100
+
+
+def test_find_where_numeric_order_and_elem_null(spark):
+    rows = [
+        ('{"a": 9, "b": 10, "name": "num"}',),
+        ('{"a": 10, "b": 9, "name": "rev"}',),
+        ('{"arr": [1, null], "name": "withnull"}',),
+        ('{"arr": [1, 2], "name": "nonull"}',),
+    ]
+    df = spark.createDataFrame(rows, "doc string")
+    catalog = SourceCatalog(spark).register("t", df, doc_column="doc")
+    import json
+
+    def run(q):
+        ls = LogicalSource(kind="query", value=f"db.t.find({q})",
+                           formulation="JSONPath")
+        out, doc_col = catalog.resolve(ls)
+        return {json.loads(r[doc_col])["name"] for r in out.collect()}
+
+    # 9 < 10 must be numeric, not lexicographic ('9' < '10' is false)
+    assert run("{ $where: 'this.a < this.b' }") == {"num"}
+    assert run("{ $where: 'this.a > this.b' }") == {"rev"}
+    # $elemMatch {$eq: null} matches arrays containing null
+    assert run("{arr: {$elemMatch: {$eq: null}}}") == {"withnull"}

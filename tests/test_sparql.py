@@ -845,3 +845,80 @@ def test_construct_rejects_path_template(triples):
             """PREFIX ex: <http://example.org/>
             CONSTRUCT { ?x ex:a/ex:b ?y } WHERE { ?x ex:knows ?y }""",
         )
+
+
+def test_predicate_object_lists(triples):
+    # ';' predicate lists and ',' object lists (Turtle abbreviation)
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?n ?a WHERE { ?x ex:name ?n ; ex:age ?a }""",
+        )
+    )
+    assert got == {
+        ('"alice"', '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ('"bob"', '"17"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x WHERE { ?x ex:name "alice" , "bob" }""",
+        )
+    )
+    assert got == set()  # object list = same subject has BOTH names
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x WHERE { ?x a ex:Person ; ex:knows ?y . ?y ex:name ?n }""",
+        )
+    )
+    assert got == {(f"<{EX}p/1>",), (f"<{EX}p/2>",)}
+
+
+def test_union_with_subquery_branch(triples):
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x WHERE {
+                { SELECT ?x WHERE { ?x ex:age ?a . FILTER(?a >= 18) } }
+                UNION
+                { ?x ex:name "carol" }
+            }""",
+        )
+    )
+    assert got == {(f"<{EX}p/1>",), (f"<{EX}p/3>",)}
+
+
+def test_langmatches_prefix_range(spark):
+    t = spark.createDataFrame(
+        [
+            ("<e:a>", "<e:p>", '"color"@en-US'),
+            ("<e:b>", "<e:p>", '"colour"@en'),
+            ("<e:c>", "<e:p>", '"couleur"@fr'),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = rows(
+        sparql_select(
+            t,
+            """SELECT ?s WHERE { ?s <e:p> ?o . FILTER(LANGMATCHES(LANG(?o), "en")) }""",
+        )
+    )
+    assert got == {("<e:a>",), ("<e:b>",)}  # 'en' matches 'en-US' too
+
+
+def test_variable_in_path_raises(triples):
+    with pytest.raises(ValueError, match="property-path"):
+        parse_sparql(
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x ?y WHERE { ?x (?p)+ ?y }"""
+        )
+    with pytest.raises(ValueError, match="property-path"):
+        parse_sparql(
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x ?y WHERE { ?x ex:a/?p ?y }"""
+        )
