@@ -23,7 +23,8 @@ selection — replacing the reference's hand-written optimizer rewrites
 
 Supported SPARQL subset (a superset of every query shape the
 reference's abstract algebra models): PREFIX, SELECT [DISTINCT]
-?v... | *, basic graph patterns, property paths (p1/p2 sequence,
+?v... | *, basic graph patterns with ';'/',' lists and [ ... ]
+blank-node property lists, property paths (p1/p2 sequence,
 p1|p2 alternation, ^p inverse, !p / !(p1|p2) negated property sets,
 p+ / p* / p? closure — the closures
 evaluated as a distributed semi-naive transitive-closure fixpoint),
@@ -172,6 +173,7 @@ _TOKEN_RE = re.compile(
       | \w+:[\w.%-]*      # prefixed name
       | a\b               # rdf:type shorthand
       | [{}().;,]
+      | [\[\]]            # blank-node property lists
       | [/|^+*?!]         # property-path operators (incl. !negation)
       | \S+
     """,
@@ -554,40 +556,62 @@ def _parse_values(
 
 
 def _parse_triples(chunk: str, prefixes: dict[str, str]) -> list[TriplePattern]:
-    """Triple patterns with ';' predicate-object lists and ',' object
-    lists (Turtle-style abbreviation, SPARQL 1.1 §4.2.1)."""
+    """Triple patterns with ';' predicate-object lists, ',' object
+    lists, and [ ... ] blank-node property lists (Turtle-style
+    abbreviations, SPARQL 1.1 §4.2.1-4.2.2). Blank-node lists become
+    fresh internal variables (?__bnN — hidden from SELECT *)."""
     out: list[TriplePattern] = []
+    counter = [0]
+
+    def parse_node(toks: list[str], i: int) -> tuple[str, int]:
+        """Subject/object position: a term, or a [ ... ] property list
+        (emitting its inner patterns with a fresh variable subject)."""
+        if toks[i] == "[":
+            var = f"?__bn{counter[0]}"
+            counter[0] += 1
+            i += 1
+            if i < len(toks) and toks[i] != "]":
+                i = parse_pred_obj_list(toks, i, var, stop="]")
+            if i >= len(toks) or toks[i] != "]":
+                raise ValueError("unbalanced [ ] in triple pattern")
+            return var, i + 1
+        return _expand(toks[i], prefixes), i + 1
+
+    def parse_pred_obj_list(
+        toks: list[str], i: int, s: str, stop: str | None = None
+    ) -> int:
+        more_preds = True
+        while more_preds:
+            if i >= len(toks) or toks[i] == stop:
+                raise ValueError(f"cannot parse triple pattern: {toks!r}")
+            p, i = _parse_path(toks, i, prefixes)
+            if isinstance(p, Path):
+                _check_path_vars(p)
+            more_objs = True
+            while more_objs:
+                if i >= len(toks) or toks[i] == stop:
+                    raise ValueError(f"cannot parse triple pattern: {toks!r}")
+                o, i = parse_node(toks, i)
+                out.append(TriplePattern(s, p, o))
+                more_objs = i < len(toks) and toks[i] == ","
+                if more_objs:
+                    i += 1
+            more_preds = i < len(toks) and toks[i] == ";"
+            if more_preds:
+                i += 1
+                # tolerate a trailing ';' before '.' / ']' / end
+                if i >= len(toks) or toks[i] == stop:
+                    more_preds = False
+        return i
+
     for stmt in _split_statements(chunk):
         toks = [t for t in _TOKEN_RE.findall(stmt) if t not in {".", ""}]
         i = 0
         while i < len(toks):
-            s = _expand(toks[i], prefixes)
-            i += 1
-            more_preds = True
-            while more_preds:
-                if i >= len(toks):
-                    raise ValueError(f"cannot parse triple pattern: {stmt!r}")
-                p, i = _parse_path(toks, i, prefixes)
-                if isinstance(p, Path):
-                    _check_path_vars(p)
-                more_objs = True
-                while more_objs:
-                    if i >= len(toks):
-                        raise ValueError(
-                            f"cannot parse triple pattern: {stmt!r}"
-                        )
-                    o = _expand(toks[i], prefixes)
-                    i += 1
-                    out.append(TriplePattern(s, p, o))
-                    more_objs = i < len(toks) and toks[i] == ","
-                    if more_objs:
-                        i += 1
-                more_preds = i < len(toks) and toks[i] == ";"
-                if more_preds:
-                    i += 1
-                    # tolerate a trailing ';' before '.' / end of chunk
-                    if i >= len(toks):
-                        more_preds = False
+            s, i = parse_node(toks, i)
+            if i >= len(toks) and s.startswith("?__bn"):
+                break  # '[ p o ] .' — a bare property list is a triple
+            i = parse_pred_obj_list(toks, i, s)
     return out
 
 
@@ -1466,6 +1490,12 @@ def _select_df(
         df = df.select(*[c for c in keep if c in df.columns])
     elif q.variables:
         df = df.select(*q.variables)
+    else:
+        # SELECT *: blank-node-property-list internals are not
+        # projectable variables
+        hidden = [c for c in df.columns if c.startswith("__bn")]
+        if hidden:
+            df = df.drop(*hidden)
     if q.distinct:
         df = df.dropDuplicates()
     if q.order_by:

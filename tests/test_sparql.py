@@ -922,3 +922,36 @@ def test_variable_in_path_raises(triples):
             """PREFIX ex: <http://example.org/>
             SELECT ?x ?y WHERE { ?x ex:a/?p ?y }"""
         )
+
+
+def test_blank_node_property_list(triples):
+    # object position: ?x knows [ ex:name ?n ]
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x ?n WHERE { ?x ex:knows [ ex:name ?n ] }""",
+        )
+    )
+    assert got == {
+        (f"<{EX}p/1>", '"bob"'),
+        (f"<{EX}p/2>", '"carol"'),
+    }
+    # subject position with ';' inside the brackets
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?n WHERE { [ a ex:Person ; ex:name ?n ] ex:knows ?y }""",
+        )
+    )
+    assert got == {('"alice"',), ('"bob"',)}
+    # a bare property list is a complete triple pattern; SELECT * hides
+    # the internal variable
+    df = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT * WHERE { [ ex:name ?n ; ex:age ?a ] }""",
+    )
+    assert sorted(df.columns) == ["a", "n"]
+    assert df.count() == 2
