@@ -955,3 +955,24 @@ def test_blank_node_property_list(triples):
     )
     assert sorted(df.columns) == ["a", "n"]
     assert df.count() == 2
+
+
+def test_blank_node_nested_and_empty(triples):
+    # nested property lists
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?n2 WHERE { ?x ex:knows [ ex:knows [ ex:name ?n2 ] ] }""",
+        )
+    )
+    assert got == {('"carol"',)}  # p1 knows p2 knows p3
+    # [] = "any object" wildcard
+    got = rows(
+        sparql_select(
+            triples,
+            """PREFIX ex: <http://example.org/>
+            SELECT ?x WHERE { ?x ex:knows [] }""",
+        )
+    )
+    assert got == {(f"<{EX}p/1>",), (f"<{EX}p/2>",)}
