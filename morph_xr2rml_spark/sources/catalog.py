@@ -272,7 +272,7 @@ class SourceCatalog:
                     # compare numerically when both sides parse as
                     # numbers (the JS semantics for numeric fields),
                     # lexically otherwise
-                    ln, rn = lcol.cast("double"), rcol.cast("double")
+                    ln, rn = lcol.try_cast("double"), rcol.try_cast("double")
                     both_num = ln.isNotNull() & rn.isNotNull()
                     conds.append(
                         F.when(both_num, cmp(op, ln, rn)).otherwise(
@@ -308,7 +308,9 @@ def _find_cmp_value(col: Column, v) -> tuple[Column, Column]:
     if isinstance(v, bool):
         return col, F.lit("true" if v else "false")
     if isinstance(v, (int, float)):
-        return col.cast("double"), F.lit(float(v))
+        # try_cast: a non-numeric field value compares as NULL (no
+        # match) instead of throwing under ANSI mode
+        return col.try_cast("double"), F.lit(float(v))
     if v is None:
         return col, F.lit(None).cast("string")
     return col, F.lit(str(v))

@@ -1229,7 +1229,10 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
             return _as_number(term.args[0], df), "num"
         if op == "cast_int":
             # truncation toward zero, as SQL CAST(... AS INTEGER)
-            return _as_number(term.args[0], df).cast("long").cast("double"), "num"
+            return (
+                _as_number(term.args[0], df).try_cast("long").cast("double"),
+                "num",
+            )
         if op == "str":
             return _as_lexical(term.args[0], df), "str"
         if op == "strlen":
@@ -1332,8 +1335,16 @@ def _as_lexical(term, df: DataFrame) -> Column:
 
 
 def _numeric_value(col: Column) -> Column:
-    """Lexical N-Triples term -> numeric value (for </>/... on literals)."""
-    return F.regexp_extract(col, r'^"?([-+]?\d+(?:\.\d+)?)', 1).cast("double")
+    """Lexical N-Triples term -> numeric value (for </>/... on literals).
+
+    Non-numeric terms (IRIs, plain strings) yield NULL, so the
+    comparison evaluates to NULL and the row is filtered — SPARQL's
+    type-error-is-false semantics. try_cast keeps that behavior under
+    ANSI mode, where a plain cast of '' would throw instead.
+    """
+    return F.regexp_extract(col, r'^"?([-+]?\d+(?:\.\d+)?)', 1).try_cast(
+        "double"
+    )
 
 
 def _filter_col(node: FilterNode, df: DataFrame) -> Column:

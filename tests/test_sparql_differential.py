@@ -1,0 +1,155 @@
+"""Differential property test: the DataFrame SPARQL evaluator versus a
+naive in-memory reference evaluator on randomized tiny graphs and
+query shapes (BGP join, OPTIONAL, numeric FILTER, DISTINCT).
+
+The reference's own tests are example-based only (SURVEY §5); this adds
+the property-based layer our test strategy commits to: for every
+generated (graph, query) pair, the distributed plan must agree with the
+obviously-correct nested-loop semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import given, settings, strategies as st
+
+from morph_xr2rml_spark.sparql import sparql_select
+
+EX = "http://example.org/"
+_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _lit(n: int) -> str:
+    return f'"{n}"^^<{_INT}>'
+
+
+# ---------------------------------------------------------------------------
+# naive evaluator: solution mappings as dicts, nested-loop everything
+# ---------------------------------------------------------------------------
+
+
+def _match(triple, pattern, binding):
+    """Try to extend binding by matching one triple against (s, p, o)."""
+    b = dict(binding)
+    for t, q in zip(triple, pattern):
+        if q.startswith("?"):
+            v = q[1:]
+            if v in b:
+                if b[v] != t:
+                    return None
+            else:
+                b[v] = t
+        elif t != q:
+            return None
+    return b
+
+
+def _eval_bgp(graph, patterns, bindings):
+    for pat in patterns:
+        nxt = []
+        for b in bindings:
+            for t in graph:
+                m = _match(t, pat, b)
+                if m is not None:
+                    nxt.append(m)
+        bindings = nxt
+    return bindings
+
+
+def naive_select(graph, patterns, optional, filt_var, filt_min, distinct):
+    sols = _eval_bgp(graph, patterns, [{}])
+    if optional is not None:
+        out = []
+        for b in sols:
+            ext = _eval_bgp(graph, [optional], [b])
+            out.extend(ext if ext else [b])
+        sols = out
+    if filt_var is not None:
+        kept = []
+        for b in sols:
+            v = b.get(filt_var)
+            if v is None:
+                continue
+            if not v.startswith('"'):
+                continue
+            if int(v[1 : v.index('"', 1)]) >= filt_min:
+                kept.append(b)
+        sols = kept
+    rows = [tuple(sorted(b.items())) for b in sols]
+    return set(rows) if distinct else rows
+
+
+# ---------------------------------------------------------------------------
+# generators
+# ---------------------------------------------------------------------------
+
+_SUBJ = [f"<{EX}s{i}>" for i in range(4)]
+_PRED = [f"<{EX}p{i}>" for i in range(3)]
+_OBJ = _SUBJ + [_lit(n) for n in range(4)]
+
+triple_st = st.tuples(
+    st.sampled_from(_SUBJ), st.sampled_from(_PRED), st.sampled_from(_OBJ)
+)
+graph_st = st.lists(triple_st, min_size=1, max_size=14, unique=True)
+
+_VARS = ["?x", "?y", "?z"]
+
+
+def pattern_st(rng=2):
+    return st.tuples(
+        st.sampled_from(_VARS[:rng] + _SUBJ[:2]),
+        st.sampled_from(_VARS[rng : rng + 1] + _PRED),
+        st.sampled_from(_VARS[:rng] + [_lit(1), _SUBJ[1]]),
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    graph=graph_st,
+    p1=pattern_st(),
+    p2=pattern_st(),
+    use_opt=st.booleans(),
+    use_filter=st.booleans(),
+    fmin=st.integers(min_value=0, max_value=3),
+)
+def _property(spark, graph, p1, p2, use_opt, use_filter, fmin):
+    patterns = [p1]
+    optional = p2 if use_opt else None
+    if not use_opt:
+        patterns.append(p2)
+    all_vars = sorted(
+        {t[1:] for pat in patterns + ([optional] if optional else [])
+         for t in pat if t.startswith("?")}
+    )
+    if not all_vars:
+        return
+    filt_var = None
+    if use_filter:
+        filt_var = all_vars[0]
+
+    body = " . ".join(" ".join(p) for p in patterns)
+    q = "SELECT DISTINCT " + " ".join(f"?{v}" for v in all_vars) + " WHERE { "
+    q += body
+    if optional is not None:
+        q += " OPTIONAL { " + " ".join(optional) + " }"
+    if filt_var is not None:
+        q += f" FILTER(?{filt_var} >= {fmin})"
+    q += " }"
+
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    want_rows = naive_select(graph, patterns, optional, filt_var, fmin, True)
+    want = {
+        tuple((k, v) for k, v in row if k in all_vars) for row in want_rows
+    }
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_vs_naive(spark):
+    _property(spark)
