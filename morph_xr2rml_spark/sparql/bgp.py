@@ -1169,7 +1169,14 @@ def _group_df(
     parts.extend(_select_df(triples, sq, graph) for sq in g.subselects)
     for branches in g.unions:
         branch_dfs = [_group_df(triples, b, graph) for b in branches]
-        parts.append(functools.reduce(DataFrame.unionByName, branch_dfs))
+        # SPARQL UNION branches may bind different variable sets; a
+        # variable absent from a branch is unbound (NULL) in its rows
+        parts.append(
+            functools.reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                branch_dfs,
+            )
+        )
     parts.extend(_values_df(triples, vals) for vals in g.values)
     if not parts:
         raise ValueError("empty group graph pattern")

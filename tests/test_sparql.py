@@ -976,3 +976,21 @@ def test_blank_node_nested_and_empty(triples):
         )
     )
     assert got == {(f"<{EX}p/1>",), (f"<{EX}p/2>",)}
+
+
+def test_union_mismatched_variables(triples):
+    # branches binding different variables: absent vars are unbound
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n ?a WHERE {
+            { ?x ex:name ?n . FILTER(?n = "carol") }
+            UNION
+            { ?x ex:age ?a . FILTER(?a > 20) }
+        }""",
+    ).collect()
+    got = {(r["x"], r["n"], r["a"]) for r in out}
+    assert got == {
+        (f"<{EX}p/3>", '"carol"', None),
+        (f"<{EX}p/1>", None, '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    }
