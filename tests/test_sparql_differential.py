@@ -153,3 +153,99 @@ def _property(spark, graph, p1, p2, use_opt, use_filter, fmin):
 
 def test_differential_vs_naive(spark):
     _property(spark)
+
+
+# ---------------------------------------------------------------------------
+# UNION / MINUS shapes
+# ---------------------------------------------------------------------------
+
+
+def naive_union(graph, branch_a, branch_b):
+    """Bag union of two single-pattern branches (unbound vars absent)."""
+    sols = _eval_bgp(graph, [branch_a], [{}]) + _eval_bgp(
+        graph, [branch_b], [{}]
+    )
+    return sols
+
+
+def naive_minus(graph, patterns, minus_pat):
+    """SPARQL 1.1 §8.3: drop a solution iff some MINUS solution shares
+    at least one variable with it and agrees on every shared one."""
+    sols = _eval_bgp(graph, patterns, [{}])
+    removed = _eval_bgp(graph, [minus_pat], [{}])
+    out = []
+    for b in sols:
+        compatible = any(
+            (b.keys() & m.keys())
+            and all(b[v] == m[v] for v in b.keys() & m.keys())
+            for m in removed
+        )
+        if not compatible:
+            out.append(b)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, pa=pattern_st(), pb=pattern_st())
+def _union_property(spark, graph, pa, pb):
+    vars_a = {t[1:] for t in pa if t.startswith("?")}
+    vars_b = {t[1:] for t in pb if t.startswith("?")}
+    all_vars = sorted(vars_a | vars_b)
+    if not all_vars:
+        return
+    q = (
+        "SELECT DISTINCT "
+        + " ".join(f"?{v}" for v in all_vars)
+        + " WHERE { { "
+        + " ".join(pa)
+        + " } UNION { "
+        + " ".join(pb)
+        + " } }"
+    )
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    want = {
+        tuple(sorted(b.items())) for b in naive_union(graph, pa, pb)
+    }
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_union(spark):
+    _union_property(spark)
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, p1=pattern_st(), pm=pattern_st())
+def _minus_property(spark, graph, p1, pm):
+    all_vars = sorted({t[1:] for t in p1 if t.startswith("?")})
+    if not all_vars:
+        return
+    q = (
+        "SELECT DISTINCT "
+        + " ".join(f"?{v}" for v in all_vars)
+        + " WHERE { "
+        + " ".join(p1)
+        + " . MINUS { "
+        + " ".join(pm)
+        + " } }"
+    )
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    want = {
+        tuple(sorted(b.items())) for b in naive_minus(graph, [p1], pm)
+    }
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_minus(spark):
+    _minus_property(spark)
