@@ -249,3 +249,57 @@ def _minus_property(spark, graph, p1, pm):
 
 def test_differential_minus(spark):
     _minus_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# FILTER [NOT] EXISTS shapes
+# ---------------------------------------------------------------------------
+
+
+def naive_exists(graph, patterns, sub_pat, positive):
+    sols = _eval_bgp(graph, patterns, [{}])
+    out = []
+    for b in sols:
+        found = bool(_eval_bgp(graph, [sub_pat], [b]))
+        if found == positive:
+            out.append(b)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    graph=graph_st,
+    p1=pattern_st(),
+    pe=pattern_st(),
+    positive=st.booleans(),
+)
+def _exists_property(spark, graph, p1, pe, positive):
+    all_vars = sorted({t[1:] for t in p1 if t.startswith("?")})
+    if not all_vars:
+        return
+    kw = "EXISTS" if positive else "NOT EXISTS"
+    q = (
+        "SELECT DISTINCT "
+        + " ".join(f"?{v}" for v in all_vars)
+        + " WHERE { "
+        + " ".join(p1)
+        + f" . FILTER {kw} {{ "
+        + " ".join(pe)
+        + " } }"
+    )
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    want = {
+        tuple(sorted(b.items()))
+        for b in naive_exists(graph, [p1], pe, positive)
+    }
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_exists(spark):
+    _exists_property(spark)
