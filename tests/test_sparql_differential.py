@@ -303,3 +303,81 @@ def _exists_property(spark, graph, p1, pe, positive):
 
 def test_differential_exists(spark):
     _exists_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# property-path shapes (incl. the distributed transitive-closure fixpoint)
+# ---------------------------------------------------------------------------
+
+
+def naive_path_pairs(graph, expr):
+    """expr: ('leaf', p) | ('seq', a, b) | ('inv', a) | ('alt', a, b)
+    | ('plus', a) | ('star', a)."""
+    kind = expr[0]
+    if kind == "leaf":
+        return {(s, o) for s, p, o in graph if p == expr[1]}
+    if kind == "inv":
+        return {(o, s) for s, o in naive_path_pairs(graph, expr[1])}
+    if kind == "alt":
+        return naive_path_pairs(graph, expr[1]) | naive_path_pairs(
+            graph, expr[2]
+        )
+    if kind == "seq":
+        a = naive_path_pairs(graph, expr[1])
+        b = naive_path_pairs(graph, expr[2])
+        return {(s, o2) for s, o1 in a for s2, o2 in b if o1 == s2}
+    if kind in ("plus", "star"):
+        edges = naive_path_pairs(graph, expr[1])
+        closure = set(edges)
+        while True:
+            grown = closure | {
+                (s, o2) for s, o1 in closure for s2, o2 in edges if o1 == s2
+            }
+            if grown == closure:
+                break
+            closure = grown
+        if kind == "star":
+            nodes = {s for s, _, _ in graph} | {o for _, _, o in graph}
+            closure |= {(n, n) for n in nodes}
+        return closure
+    raise AssertionError(kind)
+
+
+def _path_text(expr):
+    kind = expr[0]
+    if kind == "leaf":
+        return expr[1]
+    if kind == "inv":
+        return "^" + _path_text(expr[1])
+    if kind == "alt":
+        return f"({_path_text(expr[1])}|{_path_text(expr[2])})"
+    if kind == "seq":
+        return f"({_path_text(expr[1])}/{_path_text(expr[2])})"
+    return f"({_path_text(expr[1])}){'+' if kind == 'plus' else '*'}"
+
+
+leaf_st = st.sampled_from(_PRED).map(lambda p: ("leaf", p))
+path_st = st.one_of(
+    leaf_st,
+    st.tuples(st.just("inv"), leaf_st),
+    st.tuples(st.just("alt"), leaf_st, leaf_st),
+    st.tuples(st.just("seq"), leaf_st, leaf_st),
+    st.tuples(st.just("plus"), leaf_st),
+    st.tuples(st.just("star"), leaf_st),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, expr=path_st)
+def _path_property(spark, graph, expr):
+    q = f"SELECT DISTINCT ?x ?y WHERE {{ ?x {_path_text(expr)} ?y }}"
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {(r["x"], r["y"]) for r in sparql_select(df, q).collect()}
+    want = naive_path_pairs(graph, expr)
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_paths(spark):
+    _path_property(spark)
