@@ -381,3 +381,34 @@ def _path_property(spark, graph, expr):
 
 def test_differential_paths(spark):
     _path_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY + COUNT
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(graph=graph_st, pred=st.sampled_from(_PRED))
+def _group_property(spark, graph, pred):
+    q = (
+        "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x "
+        + pred
+        + " ?y } GROUP BY ?x"
+    )
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {
+        (r["x"], r["n"]) for r in sparql_select(df, q).collect()
+    }
+    counts: dict[str, int] = {}
+    for s, p, o in graph:
+        if p == pred:
+            counts[s] = counts.get(s, 0) + 1
+    want = set(counts.items())
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_group_count(spark):
+    _group_property(spark)
