@@ -7,7 +7,8 @@ structural dedup of equal lists in MorphBaseMaterializer.materializeQuad
 :77-152 / GeneralUtility.compareRdfList:204-224).
 
 Distributed expansion cannot mint driver-sequential blank nodes, so blank
-node labels are *content-derived*: xxhash64 of (subj, pred, members).
+node labels are *content-derived*: md5 of (subj, pred, members) — md5 so
+the DuckDB oracle can reproduce the labels exactly.
 Structurally equal collections on the same (subj, pred) therefore collapse
 to the same blank nodes — which is exactly the reference's structural-dedup
 semantics — and the expansion is deterministic under any partitioning.

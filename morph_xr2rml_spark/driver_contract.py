@@ -1487,35 +1487,33 @@ SQL_MULTIMODAL_FEATURES = _sql_multimodal()
 # Materialize-then-query (SURVEY §2.12): the engine's SPARQL answers
 # come from ONE materialized graph, exactly as the reference
 # materializes the Jena model once and serves queries from it. The
-# triple table is therefore memoized per (session, sf_dir) and survives
-# the per-query cache release — it is a narrow (subj, pred, obj) frame,
-# and rebuilding the extraction/mention pipeline per SPARQL query would
-# model a system the reference is not.
-_KG_TRIP_MEMO: dict[tuple[int, str], DataFrame] = {}
+# graph is checkpointed to parquet ONCE per sf_dir (the StageRunner
+# pattern — on a cluster this is the Iceberg triple-table stage) and
+# every SPARQL query reads the compact columnar file back: each
+# triple-pattern scan gets parquet predicate pushdown on `pred`, no
+# pandas-UDF lineage is re-planned per query, and the stage survives
+# session-cache eviction and release_caches() — unlike the previous
+# persist()-memo, whose blocks the first SPARQL queries were observed
+# re-materializing in the round-2 bench (sparql_bgp_join 21s vs the
+# same query at 8s warm).
+_KG_TRIP_PATH: dict[str, str] = {}
 
 
 def _kg_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persisted: sparql_select branches the triple table once per triple
-    # pattern; without a materialization barrier the whole pages ->
-    # extract -> mentions -> emit pipeline (pandas-UDF stages included)
-    # re-runs N times per query (observed 2x the full-pipeline cost for
-    # a 2-pattern BGP).
-    key = (id(spark), sf_dir)
-    df = _KG_TRIP_MEMO.get(key)
-    if df is not None:
-        try:
-            if df.storageLevel.useMemory or df.storageLevel.useDisk:
-                return df
-        except Exception:  # noqa: BLE001 — stale session
-            pass
-    _, p, m, ents = _mention_frames(spark, sf_dir)
-    df = emit_triples(spark, p, m, ents).persist()
-    # materialization barrier: the first SPARQL query would otherwise
-    # branch the un-materialized plan per triple pattern and compute
-    # the pipeline concurrently into the same cache blocks
-    df.count()
-    _KG_TRIP_MEMO[key] = df
-    return df
+    path = _KG_TRIP_PATH.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="morph-kgtrip-")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/triples"
+        _, p, m, ents = _mention_frames(spark, sf_dir)
+        emit_triples(spark, p, m, ents).write.parquet(path)
+        caching.release_caches()  # compiler parent-scan persists
+        _KG_TRIP_PATH[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 # The customer/orders graph backs FOUR sparql entries (optional_filter,
@@ -1640,6 +1638,39 @@ trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t)
 SELECT obj AS ent, CAST(count(*) AS BIGINT) AS n_pages
 FROM trip WHERE pred = '<{KG}ontology#mentions>'
 GROUP BY obj
+"""
+
+
+# Value-ordered ORDER BY over typed numeric literals: the top pages by
+# mention count, DESC. Ordering must be by numeric VALUE ("9" before
+# "10" ascending), not lexical — the reference gets value order from
+# Jena ARQ's re-evaluation (MorphMongoQueryProcessor.process:45-150);
+# the engine compiles each lexical sort key to a composite
+# (numeric value, lexical form) key (sparql/bgp.py _order_cols). The
+# LIMIT makes the ordering observable in the (order-insensitive)
+# value-hash: picking the boundary rows lexically would select a
+# different set.
+SPARQL_ORDER_NUMERIC = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?page ?n WHERE {
+    ?page kg:mentionCount ?n
+} ORDER BY DESC(?n) ?page LIMIT 20
+"""
+
+
+def q_sparql_order_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_kg_trip(spark, sf_dir), SPARQL_ORDER_NUMERIC)
+
+
+SQL_SPARQL_ORDER_NUMERIC = f"""
+WITH {_sql_dict_ctes()},
+trip AS (SELECT DISTINCT subj, pred, obj FROM ({_sql_kg_triples_core()}) t)
+SELECT subj AS page, obj AS n
+FROM trip
+WHERE pred = '<{KG}ontology#mentionCount>'
+ORDER BY CAST(regexp_extract(obj, '^"?([-+]?[0-9]+(\\.[0-9]+)?)', 1) AS DOUBLE) DESC,
+         obj DESC, page ASC
+LIMIT 20
 """
 
 
@@ -2083,6 +2114,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
+    "sparql_order_numeric": (q_sparql_order_numeric, SQL_SPARQL_ORDER_NUMERIC),
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
     "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),
     "sparql_minus_having": (q_sparql_minus_having, SQL_SPARQL_MINUS_HAVING),

@@ -310,8 +310,12 @@ def ivf_topk(
     qb = ivf_assign(queries, cents, vec_col, id_col, nprobe, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cluster"
     )
+    # pin the probe side as the build side: the query list is |Q| x
+    # nprobe rows, and size estimation over the UDF-derived plan is
+    # unreliable — at scale a mis-picked build side (the corpus) is an
+    # OOM (same reasoning as lsh_ann_topk above)
     cand = (
-        qb.join(cb, "cluster")
+        cb.join(F.broadcast(qb), "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -7,10 +7,14 @@ Each iteration: every node takes the min label among itself and its
 neighbors (one join + one groupBy, both partial-aggregated). Converges
 in O(diameter) rounds; sameAs graphs are shallow (alias chains + hub
 cliques), so this beats the constant-factor-heavy large-star/small-star
-alternation until diameters get pathological. Lineage is cut with
-localCheckpoint each round so the plan doesn't grow unboundedly, and
-convergence is detected with a count of changed labels (cheap: runs on
-the label table only).
+alternation until diameters get pathological. Each round is pinned with
+a parquet-checkpoint lineage cut (plans.caching.checkpoint_parquet) —
+persist alone leaves the logical plan doubling per round (each round
+references the previous labels twice), and Spark 4's localCheckpoint
+throws ``key not found: <attr>#<id>`` on AQE-finalized shuffle plans
+such as the union+distinct ``und`` edge set here. Convergence is
+detected with a count of changed labels (cheap: runs on the label
+table only).
 
 Skew note: a hub component funnels its whole frontier into one groupBy
 key per round. The groupBy is a min-aggregate — partial aggregation
@@ -22,6 +26,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.caching import cache, checkpoint_parquet
+
+
+def _pin(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize a fixpoint round with a REAL lineage cut. Each round
+    references the previous round's labels twice (message join + union),
+    so a persist-only pin leaves the logical plan doubling per round —
+    exponential analysis time. See plans.caching.checkpoint_parquet for
+    why localCheckpoint is not an option under AQE."""
+    return checkpoint_parquet(df, tag)
 
 
 def connected_components(
@@ -38,23 +53,26 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    und = und.localCheckpoint(eager=True)
-    labels = (
+    # the edge table is re-read every round: keep it in memory (its
+    # lineage is fixed, so persist is safe and cheaper than re-scanning)
+    und = cache(und)
+    und.count()
+    labels = _pin(
         und.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        "cc_labels_",
     )
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep own label in the pool
         msgs = und.join(
             labels.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), "component")
-        new_labels = (
+        new_labels = _pin(
             labels.unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component")),
+            "cc_labels_",
         )
         changed = (
             new_labels.alias("n")

@@ -3,14 +3,16 @@
 Covers the reference's source operators (SURVEY §2.1):
   S1 table scan        rr:tableName           (MorphRDBUnfolder.unfoldLogicalSource:65-97)
   S2 SQL-query scan    rr:sqlQuery            (same :76-93 — Catalyst parses)
-  S3 collection scan   xrr:query "db.X.find({...})"
+  S3 collection scan   xrr:query "db.X.find({...}[, {projection}])"
                        (MongoDBQuery.parseQueryString:67-86) — find
                        documents with field equality, $eq/$ne/$gt/$gte/
-                       $lt/$lte, $in/$nin, $exists, $size,
-                       $elemMatch, and $and/$or
+                       $lt/$lte, $in/$nin, $exists, $size, $elemMatch,
+                       $regex (+$options), $not, and $and/$or
                        compile to Catalyst predicates over the doc
                        column (the reference ships them to MongoDB; we
-                       evaluate the same predicate on the JSON column)
+                       evaluate the same predicate on the JSON column);
+                       the projection document is parsed and then left
+                       to Catalyst column pruning
   S5 per-TM slice/offset  df.offset(m).limit(n)
   S6 source reuse      .persist() of parent-side scans across RefObjectMaps
 
@@ -34,8 +36,36 @@ from pyspark.sql import functions as F
 from ..mapping.model import LogicalSource
 
 _MONGO_FIND_RE = re.compile(
-    r"^\s*db\.(?P<collection>\w+)\.find\s*\(\s*(?P<query>.*?)\s*\)\s*$", re.DOTALL
+    r"^\s*db\.(?P<collection>\w+)\.find\s*\(\s*(?P<args>.*?)\s*\)\s*$", re.DOTALL
 )
+
+
+def _split_find_args(args: str) -> tuple[str, str | None]:
+    """Split ``find(query[, projection])`` arguments at the top-level
+    comma (the reference passes both documents through to MongoDB,
+    MongoDBQuery.parseQueryString:67-86). Depth-tracked over {}/[] and
+    quoted strings so commas inside the query document don't split."""
+    depth = 0
+    quote: str | None = None
+    i, n = 0, len(args)
+    while i < n:
+        c = args[i]
+        if quote is not None:
+            if c == "\\":
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c in "{[(":
+            depth += 1
+        elif c in "}])":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return args[:i].strip(), args[i + 1 :].strip()
+        i += 1
+    return args.strip(), None
 
 _BARE_KEY_RE = re.compile(r"([{\s,])(\$?[\w.]+)\s*:")
 
@@ -174,7 +204,16 @@ class SourceCatalog:
             if m:
                 name = m.group("collection")
                 df = self._table(name)
-                df = self._apply_find_predicate(df, name, m.group("query"))
+                query, projection = _split_find_args(m.group("args"))
+                if projection is not None and projection not in ("", "{}"):
+                    # validate the projection document parses; it is then
+                    # deliberately not applied: the document column flows
+                    # whole into path evaluation (mixed-syntax paths may
+                    # reference fields the projection excludes only on
+                    # the DB side), and Catalyst column pruning already
+                    # drops what the compiled term maps don't read
+                    _parse_find_json(projection)
+                df = self._apply_find_predicate(df, name, query)
             else:
                 # SQL query — registered tables must be visible as temp views
                 for tname, tdf in self.tables.items():
@@ -234,8 +273,18 @@ class SourceCatalog:
                 continue
             col, json_field = self._field_col(df, name, key)
             if isinstance(val, dict):
+                opts = val.get("$options", "")
                 for op, operand in val.items():
-                    conds.append(_find_op(col, op, operand, json_field))
+                    if op == "$options":
+                        continue  # consumed by the sibling $regex
+                    if op == "$regex":
+                        conds.append(_find_regex(col, operand, opts))
+                    elif op == "$not":
+                        conds.append(
+                            _find_not(col, operand, json_field)
+                        )
+                    else:
+                        conds.append(_find_op(col, op, operand, json_field))
             else:
                 conds.append(_find_op(col, "$eq", val, json_field))
         return functools.reduce(operator.and_, conds)
@@ -314,6 +363,40 @@ def _find_cmp_value(col: Column, v) -> tuple[Column, Column]:
     if v is None:
         return col, F.lit(None).cast("string")
     return col, F.lit(str(v))
+
+
+def _find_regex(col: Column, pattern, options: str = "") -> Column:
+    """{field: {$regex: pat[, $options: "i"...]}} -> rlike. Mongo
+    $regex is UNANCHORED substring matching, exactly rlike's contract;
+    supported options map to Java embedded flags ((?i) etc.)."""
+    if not isinstance(pattern, str):
+        raise ValueError("$regex requires a string pattern")
+    flags = "".join(sorted(set(options or "")))
+    if flags:
+        if not set(flags) <= set("imsx"):
+            raise ValueError(f"unsupported $options {options!r}")
+        pattern = f"(?{flags}){pattern}"
+    return col.rlike(pattern)
+
+
+def _find_not(col: Column, operand, json_field: bool) -> Column:
+    """{field: {$not: {ops...}}}: Mongo $not also matches documents
+    where the field is MISSING — coalesce(inner, false) keeps that
+    semantics under SQL three-valued logic (a bare ~inner would drop
+    null rows)."""
+    if not isinstance(operand, dict) or not operand:
+        raise ValueError("$not requires a non-empty operator document")
+    opts = operand.get("$options", "")
+    inner: list[Column] = []
+    for op, v in operand.items():
+        if op == "$options":
+            continue
+        if op == "$regex":
+            inner.append(_find_regex(col, v, opts))
+        else:
+            inner.append(_find_op(col, op, v, json_field))
+    combined = functools.reduce(operator.and_, inner)
+    return ~F.coalesce(combined, F.lit(False))
 
 
 def _find_elem_cmp(elem: Column, op: str, v) -> Column:

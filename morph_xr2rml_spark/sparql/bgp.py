@@ -27,7 +27,8 @@ reference's abstract algebra models): PREFIX, SELECT [DISTINCT]
 blank-node property lists, property paths (p1/p2 sequence,
 p1|p2 alternation, ^p inverse, !p / !(p1|p2) negated property sets,
 p+ / p* / p? closure — the closures
-evaluated as a distributed semi-naive transitive-closure fixpoint),
+evaluated as a distributed semi-naive transitive-closure fixpoint;
+paths evaluate per named graph inside GRAPH ?g),
 GRAPH <g>/{?g} groups over a quad table, OPTIONAL { ... }, UNION of
 group graph patterns, MINUS { ... }, FILTER with =, !=, <, <=, >, >=,
 BOUND, !, &&, ||, REGEX, IN / NOT IN, xsd:integer/double/... casts,
@@ -128,7 +129,8 @@ class SelectQuery:
     variables: list[str]  # without '?'; empty = *
     where: Group
     distinct: bool = False
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    # (key, asc): key is a variable name (str) or a FilterNode expression
+    order_by: list[tuple[object, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     aggregates: list[Aggregate] = field(default_factory=list)
@@ -148,15 +150,18 @@ class FilterNode:
 # ---------------------------------------------------------------------------
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
+# WHERE is optional in the SPARQL grammar (SELECT * { ... } and
+# ASK { ... } are valid); the lookbehind keeps a ?where variable from
+# being eaten as the keyword.
 _SELECT_RE = re.compile(
-    r"SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE", re.IGNORECASE | re.DOTALL
+    r"SELECT\s+(DISTINCT\s+)?(.*?)\s*(?:(?<![?\w])WHERE\s*)?\{",
+    re.IGNORECASE | re.DOTALL,
 )
-_TAIL_RE = re.compile(
-    r"(GROUP\s+BY\s+(?P<group>[^{}]+?))?\s*"
-    r"(ORDER\s+BY\s+(?P<order>[^{}]+?))?\s*"
-    r"(LIMIT\s+(?P<limit>\d+))?\s*(OFFSET\s+(?P<offset>\d+))?\s*$",
-    re.IGNORECASE,
-)
+# Solution modifiers after the WHERE block. SPARQL's LimitOffsetClauses
+# allows LIMIT/OFFSET in either order; the scanner accepts any clause
+# order and raises on unconsumed text (a silently-dropped OFFSET would
+# return extra rows).
+_CLAUSE_RE = re.compile(r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
 
 _AGG_RE = re.compile(
     r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
@@ -195,9 +200,12 @@ def _expand(tok: str, prefixes: dict[str, str]) -> str:
 def _strip_comments(text: str) -> str:
     """Remove '#'-to-end-of-line comments, ignoring '#' inside <IRI>
     refs and quoted strings (SPARQL 1.1 grammar: comments are outside
-    tokens)."""
+    tokens). A '<' counts as an IRI opener only when a matching '>'
+    follows before any character an IRIREF cannot contain (whitespace,
+    quote, another '<') — so the comparison in FILTER(?x < 5) does not
+    swallow a later '#' comment."""
     out: list[str] = []
-    in_iri = in_str = False
+    in_str = False
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -209,16 +217,18 @@ def _strip_comments(text: str) -> str:
                 continue
             if ch == '"':
                 in_str = False
-        elif in_iri:
-            out.append(ch)
-            if ch == ">":
-                in_iri = False
         elif ch == '"':
             in_str = True
             out.append(ch)
         elif ch == "<":
-            in_iri = True
-            out.append(ch)
+            j = i + 1
+            while j < n and text[j] not in '>"<' and not text[j].isspace():
+                j += 1
+            if j < n and text[j] == ">":  # a complete IRIREF: copy verbatim
+                out.append(text[i : j + 1])
+                i = j + 1
+                continue
+            out.append(ch)  # a bare '<' comparison operator
         elif ch == "#":
             while i < n and text[i] != "\n":
                 i += 1
@@ -262,24 +272,16 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
             else:
                 variables.append(item.lstrip("?"))
 
-    # WHERE block: match braces from the end of the SELECT clause
-    start = body.index("{", msel.end() - 1)
-    depth, i = 0, start
-    while i < len(body):
-        if body[i] == "{":
-            depth += 1
-        elif body[i] == "}":
-            depth -= 1
-            if depth == 0:
-                break
-        i += 1
+    # WHERE block: the SELECT regex ends at the opening '{'
+    start = msel.end() - 1
+    i = _match_brace(body, start)
     where_src = body[start + 1 : i]
     tail = body[i + 1 :]
 
     group = _parse_group(where_src, prefixes)
 
     # HAVING(expr) sits between GROUP BY and ORDER BY; cut it out
-    # before the tail regex (its parens would confuse the clause split)
+    # before the clause scan (its parens would confuse the clause split)
     having: FilterNode | None = None
     mh = re.search(r"HAVING\s*\(", tail, re.IGNORECASE)
     if mh:
@@ -287,26 +289,96 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
         having = _parse_having(tail[mh.end() : j], prefixes)
         tail = tail[: mh.start()] + tail[j + 1 :]
 
-    mt = _TAIL_RE.search(tail)
-    order_by: list[tuple[str, bool]] = []
-    group_by: list[str] = []
-    limit = offset = None
-    if mt:
-        if mt.group("group"):
-            group_by = [v.lstrip("?") for v in mt.group("group").split()]
-        if mt.group("order"):
-            for part in re.findall(
-                r"(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?", mt.group("order"), re.IGNORECASE
-            ):
-                order_by.append((part[1], part[0].upper() != "DESC"))
-        if mt.group("limit"):
-            limit = int(mt.group("limit"))
-        if mt.group("offset"):
-            offset = int(mt.group("offset"))
+    group_by, order_by, limit, offset = _parse_tail(tail, prefixes)
     return SelectQuery(
         variables, group, distinct, order_by, limit, offset, aggregates,
         group_by, having,
     )
+
+
+def _parse_tail(
+    tail: str, prefixes: dict[str, str]
+) -> tuple[list[str], list[tuple[object, bool]], int | None, int | None]:
+    """GROUP BY / ORDER BY / LIMIT / OFFSET in any order; raises on any
+    unconsumed text so no modifier is silently dropped."""
+    matches = list(_CLAUSE_RE.finditer(tail))
+    head = tail[: matches[0].start()] if matches else tail
+    if head.strip():
+        raise ValueError(
+            f"unparsed text after WHERE block: {head.strip()!r}"
+        )
+    group_by: list[str] = []
+    order_by: list[tuple[object, bool]] = []
+    limit = offset = None
+    for idx, m in enumerate(matches):
+        end = matches[idx + 1].start() if idx + 1 < len(matches) else len(tail)
+        seg = tail[m.end() : end].strip()
+        kw = re.sub(r"\s+", " ", m.group(1).upper())
+        if kw == "GROUP BY":
+            toks = seg.split()
+            if not toks or not all(t.startswith("?") for t in toks):
+                raise ValueError(f"cannot parse GROUP BY clause: {seg!r}")
+            group_by = [t.lstrip("?") for t in toks]
+        elif kw == "ORDER BY":
+            order_by = _parse_order(seg, prefixes)
+        elif kw == "LIMIT":
+            if limit is not None:
+                raise ValueError("duplicate LIMIT clause")
+            limit = int(seg)  # raises on junk after the number
+        else:
+            if offset is not None:
+                raise ValueError("duplicate OFFSET clause")
+            offset = int(seg)
+    return group_by, order_by, limit, offset
+
+
+def _parse_order(
+    seg: str, prefixes: dict[str, str]
+) -> list[tuple[object, bool]]:
+    """ORDER BY conditions: ?var | ASC(expr) | DESC(expr) | (expr) |
+    a bare function expression. A plain variable stays a string key;
+    anything else parses through the FILTER value grammar into a
+    FilterNode (ORDER BY on aggregate aliases and expressions)."""
+    out: list[tuple[object, bool]] = []
+    s = seg.strip()
+    while s:
+        asc = True
+        m = re.match(r"(ASC|DESC)\s*\(", s, re.IGNORECASE)
+        if m:
+            j = _match_paren(s, m.end() - 1)
+            expr_src = s[m.end() : j]
+            asc = m.group(1).upper() == "ASC"
+            s = s[j + 1 :].strip()
+        elif s.startswith("("):
+            j = _match_paren(s, 0)
+            expr_src = s[1:j]
+            s = s[j + 1 :].strip()
+        elif s.startswith("?"):
+            mv = re.match(r"\?\w+", s)
+            expr_src = mv.group(0)
+            s = s[mv.end() :].strip()
+        else:
+            mf = re.match(r"[A-Za-z_][\w:]*\s*\(", s)
+            if not mf:
+                raise ValueError(f"cannot parse ORDER BY condition at {s!r}")
+            j = _match_paren(s, mf.end() - 1)
+            expr_src = s[: j + 1]
+            s = s[j + 1 :].strip()
+        expr_src = expr_src.strip()
+        mvar = re.match(r"^\?(\w+)$", expr_src)
+        if mvar:
+            out.append((mvar.group(1), asc))
+        else:
+            p = _FilterParser(expr_src, prefixes)
+            node = p.or_expr()
+            if p._peek() is not None:
+                raise ValueError(
+                    f"unsupported ORDER BY expression: {expr_src!r}"
+                )
+            out.append((node, asc))
+    if not out:
+        raise ValueError("empty ORDER BY clause")
+    return out
 
 
 def _split_blocks(src: str) -> list[tuple[str, str]]:
@@ -1019,10 +1091,15 @@ def _pattern_df(
                          "(use MappingCompiler.quads())")
     if isinstance(tp.p, Path):
         if graph is not None and _is_var(graph):
-            raise ValueError(
-                "property paths inside GRAPH ?var are not supported"
+            # GRAPH ?g: the path evaluates independently per named
+            # graph — every path frame carries the graph column and
+            # joins/closures key on it, so one distributed evaluation
+            # covers all graphs at once (no per-graph driver loop)
+            df = _path_pairs(
+                df.select("graph", "subj", "pred", "obj"), tp.p, by_graph=True
             )
-        df = _path_pairs(df.select("subj", "pred", "obj"), tp.p)
+        else:
+            df = _path_pairs(df.select("subj", "pred", "obj"), tp.p)
         positions: tuple = (("subj", tp.s), ("obj", tp.o))
     else:
         positions = (("subj", tp.s), ("pred", tp.p), ("obj", tp.o))
@@ -1038,91 +1115,123 @@ def _pattern_df(
     return df.select([c.alias(v) for v, c in cols.items()])
 
 
-def _path_pairs(triples: DataFrame, node: "Term | Path") -> DataFrame:
-    """Property-path expression -> (subj, obj) pair DataFrame.
+def _path_pairs(
+    triples: DataFrame, node: "Term | Path", by_graph: bool = False
+) -> DataFrame:
+    """Property-path expression -> (subj, obj) pair DataFrame (plus a
+    leading graph column when ``by_graph``, for paths inside GRAPH ?g:
+    joins and closures then key on the graph too, so the path evaluates
+    per named graph in one distributed pass).
 
     seq/alt/inv are plan composition (join / union / swap); plus/star
     are the standard distributed transitive closure: semi-naive
     iteration, one shuffle equi-join per round, O(path diameter) rounds
-    with lineage truncated per round (localCheckpoint) so the plan
+    with each round's lineage cut by a parquet checkpoint so the plan
     doesn't grow with iteration count. Duplicate semantics: seq/alt are
     bag-shaped like Spark joins; +/*/? deduplicate (SPARQL defines the
     closure operators as set-valued reachability, §9.3 ALP)."""
+    gs = ["graph"] if by_graph else []
     if isinstance(node, str):
-        return triples.where(F.col("pred") == F.lit(node)).select("subj", "obj")
+        return triples.where(F.col("pred") == F.lit(node)).select(
+            *gs, "subj", "obj"
+        )
     if node.op == "nps":
         # negated property set: any edge whose predicate is NOT listed
         return triples.where(~F.col("pred").isin(node.args)).select(
-            "subj", "obj"
+            *gs, "subj", "obj"
         )
     if node.op == "inv":
-        p = _path_pairs(triples, node.args[0])
-        return p.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+        p = _path_pairs(triples, node.args[0], by_graph)
+        return p.select(
+            *gs, F.col("obj").alias("subj"), F.col("subj").alias("obj")
+        )
     if node.op == "alt":
         return functools.reduce(
-            DataFrame.unionByName, [_path_pairs(triples, a) for a in node.args]
+            DataFrame.unionByName,
+            [_path_pairs(triples, a, by_graph) for a in node.args],
         )
     if node.op == "seq":
-        cur = _path_pairs(triples, node.args[0])
+        cur = _path_pairs(triples, node.args[0], by_graph)
         for step in node.args[1:]:
-            nxt = _path_pairs(triples, step)
+            nxt = _path_pairs(triples, step, by_graph)
+            cond = F.col("l.obj") == F.col("r.subj")
+            if by_graph:
+                cond = cond & (F.col("l.graph") == F.col("r.graph"))
             cur = (
                 cur.alias("l")
-                .join(nxt.alias("r"), F.col("l.obj") == F.col("r.subj"))
+                .join(nxt.alias("r"), cond)
                 .select(
-                    F.col("l.subj").alias("subj"), F.col("r.obj").alias("obj")
+                    *[F.col(f"l.{g}").alias(g) for g in gs],
+                    F.col("l.subj").alias("subj"),
+                    F.col("r.obj").alias("obj"),
                 )
             )
         return cur
     if node.op == "plus":
-        return _transitive_pairs(_path_pairs(triples, node.args[0]))
+        return _transitive_pairs(
+            _path_pairs(triples, node.args[0], by_graph), by_graph=by_graph
+        )
     if node.op in ("star", "opt"):
         # zero-length path: every term of the (graph-restricted) input
-        # matches itself (SPARQL 1.1 §9.3 zero-length-path semantics)
+        # matches itself (SPARQL 1.1 §9.3 zero-length-path semantics),
+        # per named graph under GRAPH ?g
         nodes = (
-            triples.select(F.col("subj").alias("n"))
-            .union(triples.select(F.col("obj").alias("n")))
+            triples.select(*gs, F.col("subj").alias("n"))
+            .union(triples.select(*gs, F.col("obj").alias("n")))
             .distinct()
         )
-        zero = nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
-        one = _path_pairs(triples, node.args[0])
-        more = _transitive_pairs(one) if node.op == "star" else one
+        zero = nodes.select(
+            *gs, F.col("n").alias("subj"), F.col("n").alias("obj")
+        )
+        one = _path_pairs(triples, node.args[0], by_graph)
+        more = _transitive_pairs(one, by_graph=by_graph) if node.op == "star" else one
         return zero.unionByName(more).distinct()
     raise ValueError(f"unknown path operator {node.op!r}")
 
 
-def _transitive_pairs(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+def _transitive_pairs(
+    edges: DataFrame, max_rounds: int = 64, by_graph: bool = False
+) -> DataFrame:
     """Transitive closure of an edge set (one-or-more path): semi-naive
     fixpoint. Each round joins only the NEW pairs (the frontier)
     against the base edges, anti-joins out already-seen pairs, and
     truncates lineage; cycles terminate because the frontier shrinks to
     empty once every reachable pair is seen. Rounds = longest shortest
     path (graph diameter), each one shuffle join at edge-set scale."""
-    from ..plans.caching import cache
+    from ..plans.caching import cache, checkpoint_parquet
 
     def _pin(df: DataFrame) -> DataFrame:
-        # materialize the round (persist + count as the barrier),
-        # registered with the session cache registry for release at the
-        # caller's job boundary; localCheckpoint would truncate lineage
-        # harder but trips a Spark 4 attribute-resolution bug when the
-        # edge set comes out of an AQE-finalized shuffle, and closure
-        # depth (graph diameter) is small for real path queries, so
-        # bounded lineage growth is acceptable
-        df = cache(df)
-        df.count()
-        return df
+        # materialize the round with a REAL lineage cut: each frontier
+        # references the previous one twice (extension join + the seen
+        # union), so a persist-only pin leaves the logical plan doubling
+        # per round — exponential analysis cost on deep closures.
+        # localCheckpoint would cut lineage too but trips a Spark 4
+        # attribute-resolution bug on AQE-finalized shuffle plans
+        # (see plans.caching.checkpoint_parquet).
+        return checkpoint_parquet(df, "path_closure_")
 
-    base = _pin(edges.distinct())
+    gs = ["graph"] if by_graph else []
+    keys = gs + ["subj", "obj"]
+    # the base edge set is re-joined every round with fixed lineage:
+    # keep it in memory rather than re-scanning parquet
+    base = cache(_pin(edges.distinct()))
     layers = [base]
     frontier = base
     for _ in range(max_rounds):
         seen = functools.reduce(DataFrame.union, layers)
+        cond = F.col("f.obj") == F.col("e.subj")
+        if by_graph:
+            cond = cond & (F.col("f.graph") == F.col("e.graph"))
         nxt = _pin(
             frontier.alias("f")
-            .join(base.alias("e"), F.col("f.obj") == F.col("e.subj"))
-            .select(F.col("f.subj").alias("subj"), F.col("e.obj").alias("obj"))
+            .join(base.alias("e"), cond)
+            .select(
+                *[F.col(f"f.{g}").alias(g) for g in gs],
+                F.col("f.subj").alias("subj"),
+                F.col("e.obj").alias("obj"),
+            )
             .distinct()
-            .join(seen, ["subj", "obj"], "left_anti")
+            .join(seen, keys, "left_anti")
         )
         if nxt.isEmpty():
             return functools.reduce(DataFrame.union, layers)
@@ -1146,6 +1255,127 @@ def _join_bindings(left: DataFrame, right: DataFrame, how: str) -> DataFrame:
     return left.crossJoin(right)
 
 
+def _join_compat(
+    left: DataFrame,
+    lmn: set[str],
+    right: DataFrame,
+    rmn: set[str],
+    how: str,
+) -> tuple[DataFrame, set[str]]:
+    """SPARQL-compatible join of two binding sets.
+
+    SPARQL solution compatibility treats an UNBOUND shared variable as
+    compatible with anything (SPARQL 1.1 §18.3), but a plain equi-join
+    on the shared columns silently drops rows where either side left a
+    shared var NULL — which happens when a UNION branch, OPTIONAL,
+    subselect, or VALUES UNDEF doesn't bind it. ``lmn``/``rmn`` are the
+    statically-computed maybe-unbound variable sets; when no shared
+    variable is risky this is exactly the plain equi-join (zero
+    overhead, the overwhelmingly common case).
+
+    When shared risky vars exist, the join decomposes by null pattern:
+    for each subset of risky vars null on the left x null on the right,
+    filter both sides to that pattern and equi-join on the remaining
+    shared vars, coalescing the vars one side left unbound. Every piece
+    stays an equi-join (hash-joinable at scale, vs the non-equi
+    `a=b OR a IS NULL OR b IS NULL` condition, which would force a
+    nested-loop join over ALL rows including the bound majority).
+
+    Returns (joined, maybe-unbound vars of the result)."""
+    shared = [c for c in left.columns if c in right.columns]
+    out_mn = _join_result_mn(left, lmn, right, rmn, how)
+    risky = [c for c in shared if c in lmn or c in rmn]
+    if not risky:
+        return _join_bindings(left, right, how), out_mn
+    lrisky = [c for c in risky if c in lmn]
+    rrisky = [c for c in risky if c in rmn]
+    if how == "left" or (1 << len(lrisky)) * (1 << len(rrisky)) > 16:
+        # OPTIONAL with maybe-unbound shared vars (or a pathological
+        # number of risky vars): fall back to an explicit null-tolerant
+        # condition. This compiles to a nested-loop join — acceptable
+        # for this rare shape, where unbound vars genuinely match
+        # everything anyway.
+        rren = right
+        for c in shared:
+            rren = rren.withColumnRenamed(c, f"__r_{c}")
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [
+                (F.col(c) == F.col(f"__r_{c}"))
+                | F.col(c).isNull()
+                | F.col(f"__r_{c}").isNull()
+                for c in shared
+            ],
+        )
+        joined = left.join(rren, cond, how)
+        for c in shared:
+            joined = joined.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__r_{c}"))
+            ).drop(f"__r_{c}")
+        return joined, out_mn
+    pieces: list[DataFrame] = []
+    for lbits in range(1 << len(lrisky)):
+        lnull = {c for i, c in enumerate(lrisky) if lbits >> i & 1}
+        lpart = left
+        for c in lrisky:
+            lpart = lpart.where(
+                F.col(c).isNull() if c in lnull else F.col(c).isNotNull()
+            )
+        for rbits in range(1 << len(rrisky)):
+            rnull = {c for i, c in enumerate(rrisky) if rbits >> i & 1}
+            rpart = right
+            for c in rrisky:
+                rpart = rpart.where(
+                    F.col(c).isNull() if c in rnull else F.col(c).isNotNull()
+                )
+            unbound = lnull | rnull
+            keys = [c for c in shared if c not in unbound]
+            rren = rpart
+            for c in unbound:
+                rren = rren.withColumnRenamed(c, f"__r_{c}")
+            if keys:
+                piece = lpart.join(rren, on=keys, how="inner")
+            else:
+                piece = lpart.crossJoin(rren)
+            for c in unbound:
+                piece = piece.withColumn(
+                    c, F.coalesce(F.col(c), F.col(f"__r_{c}"))
+                ).drop(f"__r_{c}")
+            pieces.append(piece)
+    cols = pieces[0].columns
+    return (
+        functools.reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [p.select(*cols) for p in pieces],
+        ),
+        out_mn,
+    )
+
+
+def _join_result_mn(
+    left: DataFrame,
+    lmn: set[str],
+    right: DataFrame,
+    rmn: set[str],
+    how: str,
+) -> set[str]:
+    """Maybe-unbound vars after a compatible join: a shared var is
+    unbound only when both sides left it unbound; right-side vars of an
+    OPTIONAL are always maybe-unbound."""
+    out: set[str] = set()
+    for c in left.columns:
+        if c in right.columns:
+            if c in lmn and c in rmn:
+                out.add(c)
+        elif c in lmn:
+            out.add(c)
+    for c in right.columns:
+        if c not in left.columns:
+            if how == "left" or c in rmn:
+                out.add(c)
+    return out
+
+
 def _values_df(
     triples: DataFrame, vals: tuple[list[str], list[list[str | None]]]
 ) -> DataFrame:
@@ -1161,30 +1391,61 @@ def _values_df(
 def _group_df(
     triples: DataFrame, g: Group, graph: Term | None = None
 ) -> DataFrame:
-    parts: list[DataFrame] = [_pattern_df(triples, tp, graph) for tp in g.patterns]
+    return _group_df_info(triples, g, graph)[0]
+
+
+def _group_df_info(
+    triples: DataFrame, g: Group, graph: Term | None = None
+) -> tuple[DataFrame, set[str]]:
+    """Group graph pattern -> (bindings, maybe-unbound vars). The
+    maybe-unbound set is computed statically from the pattern structure
+    (UNION branches with heterogeneous vars, OPTIONAL, VALUES UNDEF,
+    BIND, subselect aggregates) and drives SPARQL-compatible joins in
+    :func:`_join_compat` — plain equi-joins whenever it's empty."""
+    parts: list[tuple[DataFrame, set[str]]] = [
+        (_pattern_df(triples, tp, graph), set()) for tp in g.patterns
+    ]
     for gterm, sub in g.graphs:
-        parts.append(_group_df(triples, sub, gterm))
+        parts.append(_group_df_info(triples, sub, gterm))
     # SPARQL 1.1 subqueries: evaluated bottom-up in the same graph
     # context; their projected variables join with the outer group
-    parts.extend(_select_df(triples, sq, graph) for sq in g.subselects)
+    parts.extend(_select_df_info(triples, sq, graph) for sq in g.subselects)
     for branches in g.unions:
-        branch_dfs = [_group_df(triples, b, graph) for b in branches]
+        infos = [_group_df_info(triples, b, graph) for b in branches]
         # SPARQL UNION branches may bind different variable sets; a
         # variable absent from a branch is unbound (NULL) in its rows
+        col_sets = [set(d.columns) for d, _ in infos]
+        mn = (set.union(*col_sets) - set.intersection(*col_sets)) | set().union(
+            *[m for _, m in infos]
+        )
         parts.append(
-            functools.reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                branch_dfs,
+            (
+                functools.reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    [d for d, _ in infos],
+                ),
+                mn,
             )
         )
-    parts.extend(_values_df(triples, vals) for vals in g.values)
+    for vals in g.values:
+        variables, rows = vals
+        undef = {
+            v
+            for i, v in enumerate(variables)
+            if any(r[i] is None for r in rows)
+        }
+        parts.append((_values_df(triples, vals), undef))
     if not parts:
         raise ValueError("empty group graph pattern")
-    df = functools.reduce(lambda a, b: _join_bindings(a, b, "inner"), parts)
+    df, mn = parts[0]
+    for rdf, rmn in parts[1:]:
+        df, mn = _join_compat(df, mn, rdf, rmn, "inner")
     for opt in g.optionals:
-        df = _join_bindings(df, _group_df(triples, opt, graph), "left")
+        odf, omn = _group_df_info(triples, opt, graph)
+        df, mn = _join_compat(df, mn, odf, omn, "left")
     for node, var in g.binds:
         df = df.withColumn(var, _bind_col(node, df))
+        mn.add(var)  # BIND expressions may evaluate to error/NULL
     for f in g.filters:
         df = df.where(_filter_col(f.expr, df))
     for positive, sub in g.exists:
@@ -1211,7 +1472,7 @@ def _group_df(
                 sdf.select(*shared).dropDuplicates(), on=shared, how="left_anti"
             )
         # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3)
-    return df
+    return df, mn
 
 
 _NUM_LIT_RE = re.compile(r'^"([-+]?\d+(?:\.\d+)?)"(?:\^\^<[^>]*>)?$')
@@ -1464,6 +1725,45 @@ def _agg_col(agg: Aggregate) -> Column:
     }[agg.func].alias(agg.alias)
 
 
+def _order_cols(df: DataFrame, order_by: list[tuple[object, bool]]) -> list[Column]:
+    """ORDER BY keys -> Spark sort columns with SPARQL value ordering.
+
+    Typed numeric literals must order by VALUE ("9"^^xsd:integer before
+    "10"^^xsd:integer), not lexically — the reference gets this free by
+    re-evaluating the SPARQL with Jena ARQ over the temporary graph
+    (MorphMongoQueryProcessor.process:45-150, ARQ eval at :55). Each
+    lexical-term key becomes a composite (numeric value, lexical form)
+    sort key: numerics order by value with the lexical form as the
+    deterministic tie-break, and non-numeric terms (NULL numeric key,
+    IRIs sorted before literals per SPARQL's term ordering) group
+    together and order lexically. Columns that are already numeric
+    (aggregate aliases) or expression keys compile directly."""
+    cols: list[Column] = []
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for key, asc in order_by:
+        if isinstance(key, str):
+            col = F.col(key)
+            if isinstance(fields.get(key), T.NumericType):
+                cols.append(col.asc() if asc else col.desc())
+                continue
+            num = _numeric_value(col)
+            if asc:
+                cols.extend([num.asc_nulls_first(), col.asc()])
+            else:
+                cols.extend([num.desc_nulls_last(), col.desc()])
+            continue
+        ecol, kind = _filter_operand(key, df)
+        if kind in ("num", "str"):
+            cols.append(ecol.asc() if asc else ecol.desc())
+        else:
+            num = _numeric_value(ecol)
+            if asc:
+                cols.extend([num.asc_nulls_first(), ecol.asc()])
+            else:
+                cols.extend([num.desc_nulls_last(), ecol.desc()])
+    return cols
+
+
 def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
     """Evaluate a SPARQL SELECT (subset) over a (subj, pred, obj)
     triple DataFrame; returns one column per projected variable."""
@@ -1474,7 +1774,13 @@ def sparql_select(triples: DataFrame, query: str | SelectQuery) -> DataFrame:
 def _select_df(
     triples: DataFrame, q: SelectQuery, graph: Term | None = None
 ) -> DataFrame:
-    df = _group_df(triples, q.where, graph)
+    return _select_df_info(triples, q, graph)[0]
+
+
+def _select_df_info(
+    triples: DataFrame, q: SelectQuery, graph: Term | None = None
+) -> tuple[DataFrame, set[str]]:
+    df, mn = _group_df_info(triples, q.where, graph)
     if q.aggregates or q.having is not None:
         aggs = [_agg_col(a) for a in q.aggregates]
         # HAVING: pull aggregate calls out of the expression tree into
@@ -1506,6 +1812,10 @@ def _select_df(
             df = df.where(_filter_col(having_tree, df))
         keep = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
         df = df.select(*[c for c in keep if c in df.columns])
+        # aggregates other than COUNT yield NULL over all-NULL groups
+        mn = (mn & set(q.group_by)) | {
+            a.alias for a in q.aggregates if a.func != "count"
+        }
     elif q.variables:
         df = df.select(*q.variables)
     else:
@@ -1517,14 +1827,12 @@ def _select_df(
     if q.distinct:
         df = df.dropDuplicates()
     if q.order_by:
-        df = df.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
-        )
+        df = df.orderBy(*_order_cols(df, q.order_by))
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return df
+    return df, mn & set(df.columns)
 
 
 _CONSTRUCT_RE = re.compile(

@@ -1,5 +1,6 @@
 import os
 import sys
+import tempfile
 
 import pytest
 
@@ -10,6 +11,12 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    # Hermeticity: the warehouse lives in a fresh tmpdir so a killed
+    # prior run's spark-warehouse/<table> directory can never block
+    # saveAsTable (LOCATION_ALREADY_EXISTS) — the catalog of a new
+    # session doesn't know about orphan directories, so DROP TABLE IF
+    # EXISTS is a no-op against them.
+    warehouse = tempfile.mkdtemp(prefix="morph-spark-warehouse-")
     session = (
         SparkSession.builder.master("local[4]")
         .appName("morph-xr2rml-spark-tests")
@@ -18,6 +25,7 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield session

@@ -155,3 +155,37 @@ def test_full_pipeline_and_resume(spark, documents, tmp_path_factory):
     resumed = [m for m in result2["metrics"] if m.get("resumed")]
     assert len(resumed) >= 6
     triples.unpersist()
+
+
+def test_connected_components_aqe_shuffle_input(spark, tmp_path):
+    """Regression: the fixpoint must survive an edge set that comes out
+    of an AQE-finalized shuffle over a parquet-backed input — the shape
+    that made Spark 4's localCheckpoint throw 'key not found: <attr>#N'
+    (see spark4 localCheckpoint/AQE note in canonicalize.py; fixed by
+    the persist+count barrier)."""
+    import pyspark.sql.functions as F
+
+    # small diameter: the localCheckpoint crash fired on the FIRST
+    # round, so the shape (parquet -> exchange -> distinct) is what
+    # matters, not the iteration depth (whose lineage cost is bounded
+    # separately by max_iter)
+    rows = [(f"n{i}", f"n{(i + 1) % 8}") for i in range(8)] + [
+        (f"m{i}", f"m{i + 1}") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    path = str(tmp_path / "edges.parquet")
+    df.write.parquet(path)
+    # force a real exchange + distinct (the AQE-finalized shuffle shape)
+    edges = (
+        spark.read.parquet(path)
+        .repartition(8, "src")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+        .select("src", "dst")
+    )
+    cc = canonicalize.connected_components(edges)
+    comps = {r["node"]: r["component"] for r in cc.collect()}
+    # the n-cycle is one component, the m-chain another
+    assert len({comps[f"n{i}"] for i in range(8)}) == 1
+    assert len({comps[f"m{i}"] for i in range(7)}) == 1
+    assert comps["n0"] != comps["m0"]

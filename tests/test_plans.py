@@ -8,6 +8,8 @@ tests pin that down against regressions.
 
 from __future__ import annotations
 
+import uuid
+
 import pytest
 
 from morph_xr2rml_spark import driver_contract as dc
@@ -92,11 +94,14 @@ def test_bucketed_triples_join_without_shuffle(spark, tmp_path):
         write_bucketed_triples,
     )
 
+    # unique name per run: even against a pre-existing warehouse, a
+    # stale directory from a killed prior process can never collide
+    table = f"bucketed_trip_test_{uuid.uuid4().hex[:12]}"
     rows = [(f"<e:s{i % 50}>", f"<e:p{i % 3}>", f'"v{i}"') for i in range(500)]
     trip = spark.createDataFrame(rows, "subj string, pred string, obj string")
-    write_bucketed_triples(trip, "bucketed_trip_test", buckets=4)
+    write_bucketed_triples(trip, table, buckets=4)
     try:
-        t = read_triples_table(spark, "bucketed_trip_test")
+        t = read_triples_table(spark, table)
         a = t.where("pred = '<e:p0>'").select("subj", "obj")
         b = t.where("pred = '<e:p1>'").selectExpr("subj", "obj AS obj2")
         with_shuffle_off_broadcast = a.join(b.hint("merge"), "subj")
@@ -107,4 +112,19 @@ def test_bucketed_triples_join_without_shuffle(spark, tmp_path):
         n = with_shuffle_off_broadcast.count()
         assert n > 0
     finally:
-        spark.sql("DROP TABLE IF EXISTS bucketed_trip_test")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ivf_probe_side_broadcast(spark):
+    """ivf_topk pins the query/probe side as the broadcast build side —
+    size estimation over the UDF-derived plan must never pick the
+    corpus (an OOM at scale)."""
+    from morph_xr2rml_spark.ops import similarity
+
+    corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS embedding"
+    )
+    queries = corpus.limit(3)
+    df = similarity.ivf_topk(corpus, queries, dim=64)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan

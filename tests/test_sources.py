@@ -93,7 +93,44 @@ def test_find_in_exists_and(spark, people):
 
 def test_find_unsupported_raises(spark, people):
     with pytest.raises(ValueError):
-        _find(spark, people, "{name: {$regex: 'a.*'}}")
+        _find(spark, people, "{name: {$type: 2}}")
+
+
+def test_find_regex_and_options(spark, people):
+    # Mongo $regex is unanchored substring matching -> rlike
+    assert _find(spark, people, "{name: {$regex: '^a'}}") == {"ann"}
+    assert _find(spark, people, "{city: {$regex: 'o'}}") == {"bob", "dan"}
+    # $options 'i' -> embedded (?i) flag
+    assert _find(
+        spark, people, "{name: {$regex: '^A', $options: 'i'}}"
+    ) == {"ann"}
+    with pytest.raises(ValueError):
+        _find(spark, people, "{name: {$regex: 'a', $options: 'z'}}")
+
+
+def test_find_not(spark, people):
+    # $not matches documents where the field is MISSING too (Mongo
+    # semantics; tags is absent for bob and dan)
+    assert _find(spark, people, "{tags: {$not: {$gte: 2}}}") == {
+        "ann", "bob", "dan"
+    }
+    assert _find(spark, people, "{name: {$not: {$regex: '^a'}}}") == {
+        "bob", "cal", "dan"
+    }
+
+
+def test_find_projection_argument(spark, people):
+    # reference-style find({query}, {projection}) parses; the
+    # projection document is validated then left to column pruning
+    assert _find(
+        spark, people, "{city: 'nice'}, {name: 1, _id: 0}"
+    ) == {"ann", "cal"}
+    # a top-level comma inside the query document must not split args
+    assert _find(
+        spark, people, "{age: {$gt: 20, $lt: 45}}, {name: 1}"
+    ) == {"ann"}
+    with pytest.raises(ValueError):
+        _find(spark, people, "{city: 'nice'}, {name: ")
 
 
 @pytest.fixture(scope="module")

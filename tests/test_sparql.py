@@ -994,3 +994,224 @@ def test_union_mismatched_variables(triples):
         (f"<{EX}p/3>", '"carol"', None),
         (f"<{EX}p/1>", None, '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
     }
+
+
+# ---------------------------------------------------------------------------
+# round 3: value-ordered ORDER BY, clause order, comment/WHERE-less
+# parsing, SPARQL-compatible joins over maybe-unbound variables
+# ---------------------------------------------------------------------------
+
+
+def test_offset_before_limit(triples):
+    # SPARQL LimitOffsetClauses allows 'OFFSET n LIMIT m' too; the old
+    # tail regex silently dropped the OFFSET in that order
+    q = parse_sparql(
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?x ex:name ?n } ORDER BY ?n OFFSET 1 LIMIT 1"""
+    )
+    assert q.limit == 1 and q.offset == 1
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?x ex:name ?n } ORDER BY ?n OFFSET 1 LIMIT 1""",
+    )
+    assert rows(out) == {('"bob"',)}
+
+
+def test_unparsed_tail_raises():
+    with pytest.raises(ValueError, match="unparsed text"):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o } FROB 3")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p ?o } LIMIT 3 junk")
+
+
+def test_order_by_numeric_value(spark):
+    # typed numeric literals order by VALUE: 2 < 9 < 10 (lexical order
+    # would put "10" before "2")
+    xsd = "http://www.w3.org/2001/XMLSchema#integer"
+    rws = [
+        (f"<{EX}i/a>", f"<{EX}score>", f'"10"^^<{xsd}>'),
+        (f"<{EX}i/b>", f"<{EX}score>", f'"2"^^<{xsd}>'),
+        (f"<{EX}i/c>", f"<{EX}score>", f'"9"^^<{xsd}>'),
+    ]
+    t = spark.createDataFrame(rws, "subj string, pred string, obj string")
+    asc = sparql_select(
+        t,
+        f"SELECT ?s WHERE {{ ?x <{EX}score> ?s }} ORDER BY ?s",
+    ).collect()
+    assert [r["s"].split('"')[1] for r in asc] == ["2", "9", "10"]
+    desc = sparql_select(
+        t,
+        f"SELECT ?s WHERE {{ ?x <{EX}score> ?s }} ORDER BY DESC(?s) LIMIT 2",
+    ).collect()
+    assert [r["s"].split('"')[1] for r in desc] == ["10", "9"]
+
+
+def test_order_by_aggregate_alias(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x (COUNT(?p) AS ?c) WHERE { ?x ?p ?o }
+        GROUP BY ?x ORDER BY DESC(?c) ?x LIMIT 1""",
+    ).collect()
+    # p/1 has the most triples (name, age, knows, type)
+    assert out[0]["x"] == f"<{EX}p/1>" and out[0]["c"] == 4
+
+
+def test_order_by_expression(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n WHERE { ?x ex:name ?n } ORDER BY ASC(STRLEN(?n)) LIMIT 1""",
+    ).collect()
+    assert out[0]["n"] == '"bob"'  # the only 3-char name
+
+
+def test_comment_after_less_than():
+    # a '<' comparison must not open IRI mode and swallow the comment
+    q = parse_sparql(
+        """SELECT ?x WHERE {
+            ?x <http://example.org/age> ?a .
+            FILTER(?a < 5)   # drop adults
+            ?x <http://example.org/name> ?n .  # another comment
+        }"""
+    )
+    assert len(q.where.patterns) == 2 and len(q.where.filters) == 1
+
+
+def test_where_less_select(triples):
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?n { ?x ex:name ?n }""",
+    )
+    assert rows(out) == {('"alice"',), ('"bob"',), ('"carol"',)}
+
+
+def test_where_less_ask_endpoint(spark, triples):
+    # 'ASK { ... }' (WHERE omitted, as the grammar allows) must work
+    # through the protocol endpoint's ASK -> SELECT * rewrite
+    from morph_xr2rml_spark.sparql.endpoint import evaluate
+
+    ctype, body = evaluate(triples, "ASK { ?s ?p ?o }")
+    assert "true" in body and "json" in ctype
+    ctype, body = evaluate(
+        triples, 'ASK { ?s <http://example.org/nope> ?o }'
+    )
+    assert "false" in body
+
+
+def test_union_unbound_shared_var_joins_compatibly(spark):
+    # the ADVICE case: branch 2 leaves ?s unbound; SPARQL compatibility
+    # says unbound matches anything, so its solutions must survive the
+    # join with the outer ?s pattern
+    rws = [
+        (f"<{EX}s1>", f"<{EX}p>", '"o1"'),
+        (f"<{EX}s2>", f"<{EX}p>", '"o2"'),
+        (f"<{EX}s1>", f"<{EX}q>", '"z1"'),
+        (f"<{EX}w1>", f"<{EX}r>", '"z2"'),
+    ]
+    t = spark.createDataFrame(rws, "subj string, pred string, obj string")
+    out = sparql_select(
+        t,
+        f"""SELECT ?s ?o ?z WHERE {{
+            ?s <{EX}p> ?o .
+            {{ ?s <{EX}q> ?z }} UNION {{ ?w <{EX}r> ?z }}
+        }}""",
+    )
+    got = rows(out)
+    assert got == {
+        # branch 1: ?s bound -> plain equi-join
+        (f"<{EX}s1>", '"o1"', '"z1"'),
+        # branch 2: ?s unbound -> compatible with BOTH outer solutions
+        (f"<{EX}s1>", '"o1"', '"z2"'),
+        (f"<{EX}s2>", '"o2"', '"z2"'),
+    }
+
+
+def test_values_undef_shared_var_joins_compatibly(spark, triples):
+    # VALUES UNDEF in a shared variable matches any binding
+    out = sparql_select(
+        triples,
+        """PREFIX ex: <http://example.org/>
+        SELECT ?x ?n WHERE {
+            ?x ex:name ?n .
+            VALUES ?n { "alice" UNDEF }
+        }""",
+    )
+    got = rows(out)
+    assert got == {
+        (f"<{EX}p/1>", '"alice"'),
+        (f"<{EX}p/2>", '"bob"'),
+        (f"<{EX}p/3>", '"carol"'),
+    }
+
+
+def test_optional_with_maybe_unbound_shared_var(spark):
+    # OPTIONAL whose shared var may be unbound on the left: the
+    # null-tolerant left join keeps unmatched rows and coalesces the
+    # shared var from the optional side when the left was unbound
+    rws = [
+        (f"<{EX}a>", f"<{EX}q>", '"z1"'),
+        (f"<{EX}b>", f"<{EX}r>", '"z2"'),
+        (f"<{EX}a>", f"<{EX}n>", '"m-a"'),
+    ]
+    t = spark.createDataFrame(rws, "subj string, pred string, obj string")
+    out = sparql_select(
+        t,
+        f"""SELECT ?z ?m WHERE {{
+            {{ ?s <{EX}q> ?z }} UNION {{ ?w <{EX}r> ?z }}
+            OPTIONAL {{ ?s <{EX}n> ?m }}
+        }}""",
+    )
+    got = rows(out)
+    assert got == {
+        ('"z1"', '"m-a"'),  # ?s bound to <a>: matches its n triple
+        ('"z2"', '"m-a"'),  # ?s unbound: compatible with the n solution
+    }
+
+
+def test_path_inside_graph_var(spark):
+    """Property paths inside GRAPH ?g evaluate per named graph (the
+    round-2 restriction lifted): closures must not leak edges across
+    graphs, and ?g binds alongside the path endpoints."""
+    quads = spark.createDataFrame(
+        [
+            # g1: a -> b -> c chain
+            ("<http://x/a>", "<http://x/p>", "<http://x/b>", "<http://x/g1>"),
+            ("<http://x/b>", "<http://x/p>", "<http://x/c>", "<http://x/g1>"),
+            # g2: c -> d only — no cross-graph a->...->d path exists
+            ("<http://x/c>", "<http://x/p>", "<http://x/d>", "<http://x/g2>"),
+            # default graph: ignored inside GRAPH ?g
+            ("<http://x/a>", "<http://x/p>", "<http://x/z>", None),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    out = sparql_select(
+        quads,
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <http://x/p>+ ?y } }",
+    )
+    got = rows(out)
+    assert got == {
+        ("<http://x/g1>", "<http://x/a>", "<http://x/b>"),
+        ("<http://x/g1>", "<http://x/b>", "<http://x/c>"),
+        ("<http://x/g1>", "<http://x/a>", "<http://x/c>"),
+        ("<http://x/g2>", "<http://x/c>", "<http://x/d>"),
+    }
+    # seq + inverse inside GRAPH ?g: join keys include the graph
+    seq = sparql_select(
+        quads,
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <http://x/p>/<http://x/p> ?y } }",
+    )
+    assert rows(seq) == {("<http://x/g1>", "<http://x/a>", "<http://x/c>")}
+    # star: zero-length pairs are per-graph nodes
+    star = sparql_select(
+        quads,
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <http://x/p>* ?y } "
+        "  FILTER(?x = ?y) }",
+    )
+    star_nodes = rows(star)
+    assert ("<http://x/g2>", "<http://x/c>", "<http://x/c>") in star_nodes
+    assert ("<http://x/g1>", "<http://x/a>", "<http://x/a>") in star_nodes
+    # a g2 node never self-pairs under g1
+    assert ("<http://x/g1>", "<http://x/d>", "<http://x/d>") not in star_nodes

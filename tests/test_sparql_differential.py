@@ -412,3 +412,92 @@ def _group_property(spark, graph, pred):
 
 def test_differential_group_count(spark):
     _group_property(spark)
+
+# ---------------------------------------------------------------------------
+# pattern JOIN union (solution compatibility with maybe-unbound vars)
+# ---------------------------------------------------------------------------
+
+
+def _compat_join(sols_a, sols_b):
+    """SPARQL 1.1 §18.3 join: merge solutions compatible on shared
+    BOUND vars (an unbound var is compatible with anything)."""
+    out = []
+    for a in sols_a:
+        for b in sols_b:
+            shared = a.keys() & b.keys()
+            if all(a[v] == b[v] for v in shared):
+                m = dict(a)
+                m.update(b)
+                out.append(m)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, p1=pattern_st(), pa=pattern_st(), pb=pattern_st())
+def _union_join_property(spark, graph, p1, pa, pb):
+    all_vars = sorted(
+        {t[1:] for pat in (p1, pa, pb) for t in pat if t.startswith("?")}
+    )
+    if not all_vars:
+        return
+    q = (
+        "SELECT DISTINCT "
+        + " ".join(f"?{v}" for v in all_vars)
+        + " WHERE { "
+        + " ".join(p1)
+        + " . { "
+        + " ".join(pa)
+        + " } UNION { "
+        + " ".join(pb)
+        + " } }"
+    )
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    outer = _eval_bgp(graph, [p1], [{}])
+    union = _eval_bgp(graph, [pa], [{}]) + _eval_bgp(graph, [pb], [{}])
+    want = {tuple(sorted(b.items())) for b in _compat_join(outer, union)}
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_union_join(spark):
+    _union_join_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY value ordering over typed numeric literals
+# ---------------------------------------------------------------------------
+
+
+def _order_key(term: str):
+    """Mirror of the engine's composite sort key: numeric terms by
+    value then lexical form; non-numeric terms first, lexically."""
+    import re as _re
+
+    m = _re.match(r'^"?([-+]?\d+(?:\.\d+)?)', term)
+    if m:
+        return (1, float(m.group(1)), term)
+    return (0, 0.0, term)
+
+
+@settings(max_examples=10, deadline=None)
+@given(graph=graph_st, pred=st.sampled_from(_PRED), desc=st.booleans())
+def _order_property(spark, graph, pred, desc):
+    d = " DESC(?y)" if desc else " ?y"
+    q = f"SELECT ?y WHERE {{ ?x {pred} ?y }} ORDER BY{d}"
+    df = spark.createDataFrame(
+        list(graph), "subj string, pred string, obj string"
+    )
+    got = [r["y"] for r in sparql_select(df, q).collect()]
+    want = sorted(
+        (o for s, p, o in graph if p == pred), key=_order_key, reverse=desc
+    )
+    assert got == want, f"query: {q}\ngraph: {graph}"
+
+
+def test_differential_order_by(spark):
+    _order_property(spark)
