@@ -83,11 +83,17 @@ def evaluate(
 
 class SparqlEndpoint:
     """Embedded HTTP server speaking the SPARQL 1.1 protocol (query
-    operation) over one triple DataFrame."""
+    operation) over one triple DataFrame — or over a zero-argument
+    provider callable, resolved per request. The provider form is the
+    incremental-answering hook (streaming.incremental.serve_incremental):
+    a parquet-backed DataFrame freezes its file listing at analysis
+    time, so a fixed frame would never see microbatches committed after
+    endpoint construction, while a per-request ``spark.read.parquet``
+    re-lists the sink directory."""
 
-    def __init__(self, triples: DataFrame, host: str = "127.0.0.1",
+    def __init__(self, triples, host: str = "127.0.0.1",
                  port: int = 0, max_rows: int = 10_000):
-        self.triples = triples
+        self._source = triples
         self.max_rows = max_rows
         endpoint = self
 
@@ -112,7 +118,7 @@ class SparqlEndpoint:
                     ctype, body = evaluate(
                         endpoint.triples, query,
                         self.headers.get("Accept", ""), endpoint.max_rows,
-                    )
+                    )  # .triples resolves a provider per request
                 except Exception as e:  # noqa: BLE001 — protocol error reply
                     self._respond(400, "text/plain", f"query error: {e}")
                     return
@@ -139,6 +145,10 @@ class SparqlEndpoint:
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+
+    @property
+    def triples(self) -> DataFrame:
+        return self._source() if callable(self._source) else self._source
 
     @property
     def port(self) -> int:

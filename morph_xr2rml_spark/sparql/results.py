@@ -41,10 +41,32 @@ def _unescape(lex: str) -> str:
     )
 
 
-def parse_term(term: str | None) -> dict | None:
-    """N-Triples lexical term -> SPARQL-results binding object."""
+def parse_term(term) -> dict | None:
+    """N-Triples lexical term -> SPARQL-results binding object.
+
+    Aggregate results (COUNT/SUM/...) come back as native numeric
+    values rather than lexical terms; they serialize as typed
+    literals, per the SPARQL results formats."""
     if term is None:
         return None
+    if isinstance(term, bool):
+        return {
+            "type": "literal",
+            "value": "true" if term else "false",
+            "datatype": "http://www.w3.org/2001/XMLSchema#boolean",
+        }
+    if isinstance(term, int):
+        return {
+            "type": "literal",
+            "value": str(term),
+            "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+        }
+    if isinstance(term, float):
+        return {
+            "type": "literal",
+            "value": repr(term),
+            "datatype": "http://www.w3.org/2001/XMLSchema#double",
+        }
     if term.startswith("<") and term.endswith(">"):
         return {"type": "uri", "value": term[1:-1]}
     if term.startswith("_:"):

@@ -123,6 +123,30 @@ def read_materialized(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def serve_incremental(
+    spark: SparkSession,
+    output_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int = 10_000,
+):
+    """SPARQL endpoint over the incremental sink: each request
+    re-resolves ``read_materialized``, so answers reflect every
+    microbatch committed so far — the engine's materialize-then-query
+    idiom made incremental (the reference can answer SPARQL without a
+    full batch materialization via query rewriting; this is the
+    equivalent capability here: query the continuously-materializing
+    graph). Returns an unstarted SparqlEndpoint; call .start()."""
+    from ..sparql.endpoint import SparqlEndpoint
+
+    return SparqlEndpoint(
+        lambda: read_materialized(spark, output_dir),
+        host=host,
+        port=port,
+        max_rows=max_rows,
+    )
+
+
 def mention_rate_stream(
     docs_stream: DataFrame,
     aliases: DataFrame,

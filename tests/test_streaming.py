@@ -131,3 +131,56 @@ def test_dedup_stream_first_seen(spark, tmp_path_factory):
         r["doc_id"] for r in spark.read.parquet(odir).collect()
     )
     assert kept == [10, 12, 21]
+
+
+def test_incremental_sparql_endpoint(spark, docs, aliases, tmp_path_factory):
+    """A SPARQL endpoint over the incremental sink answers from the
+    graph materialized SO FAR — a query after a new microbatch reflects
+    the newly-arrived documents without restarting the endpoint."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    src_dir = str(tmp_path_factory.mktemp("docs_live"))
+    out_dir = str(tmp_path_factory.mktemp("triples_live"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_live"))
+
+    first = docs.limit(20).cache()
+    first.write.mode("overwrite").parquet(src_dir)
+
+    q = incremental.incremental_materialization(
+        spark, src_dir, out_dir, ckpt, aliases
+    )
+    q.awaitTermination(300)
+
+    ep = incremental.serve_incremental(spark, out_dir).start()
+    try:
+        query = (
+            "PREFIX kg: <http://kg.example.org/ontology#> "
+            "SELECT (COUNT(?p) AS ?n) WHERE { ?p kg:mentions ?e }"
+        )
+        url = (
+            f"http://127.0.0.1:{ep.port}/sparql?query="
+            + urllib.parse.quote(query)
+        )
+
+        def count_now() -> int:
+            with urllib.request.urlopen(url, timeout=120) as resp:
+                doc = json.loads(resp.read())
+            return int(doc["results"]["bindings"][0]["n"]["value"])
+
+        n1 = count_now()
+        assert n1 > 0
+
+        # a new microbatch arrives: more documents -> more mentions
+        docs.limit(60).write.mode("append").parquet(src_dir)
+        q2 = incremental.incremental_materialization(
+            spark, src_dir, out_dir, ckpt, aliases
+        )
+        q2.awaitTermination(300)
+
+        n2 = count_now()  # SAME endpoint, no restart
+        assert n2 > n1
+    finally:
+        ep.stop()
+        first.unpersist()
