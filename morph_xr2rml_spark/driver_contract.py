@@ -2059,6 +2059,72 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 # ---------------------------------------------------------------------------
+# SPARQL — virtual (late) evaluation: the query runs against the mapped
+# sources directly, no full-graph materialization (the reference's
+# rewriting mode, MorphBaseRunner.runQuery:57-107 / bindm / genCond /
+# MorphMongoQueryProcessor.process:45-150). The oracle is the rewritten
+# relational query itself — SQL over the raw tables, no triple CTE.
+# ---------------------------------------------------------------------------
+
+SPARQL_VIRTUAL_JOIN = """
+PREFIX ex: <http://example.org/ontology#>
+SELECT ?ord ?cname WHERE {
+    ?ord ex:status "F" .
+    ?ord ex:customer ?c .
+    ?c ex:name ?cname .
+}
+"""
+
+
+def q_sparql_virtual_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import VirtualGraph
+
+    catalog = (
+        SourceCatalog(spark)
+        .register("customer", _load(spark, sf_dir, "customer"),
+                  unique_key=["c_custkey"])
+        .register("orders", _load(spark, sf_dir, "orders"),
+                  unique_key=["o_orderkey"])
+    )
+    vg = VirtualGraph(spark, parse_mapping(ORDERS_TTL), catalog)
+    return vg.select(SPARQL_VIRTUAL_JOIN)
+
+
+SQL_SPARQL_VIRTUAL_JOIN = f"""
+SELECT DISTINCT '<{EX}order/' || o_orderkey || '>' AS ord,
+       '"' || c_name || '"' AS cname
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+"""
+
+
+SPARQL_VIRTUAL_CONST = """
+PREFIX ex: <http://example.org/ontology#>
+SELECT ?name ?rk WHERE {
+    <http://example.org/nation/5> ex:name ?name ;
+                                  ex:regionkey ?rk .
+}
+"""
+
+
+def q_sparql_virtual_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import VirtualGraph
+
+    catalog = SourceCatalog(spark).register(
+        "nation", _load(spark, sf_dir, "nation"), unique_key=["n_nationkey"]
+    )
+    vg = VirtualGraph(spark, parse_mapping(NATION_TTL), catalog)
+    return vg.select(SPARQL_VIRTUAL_CONST)
+
+
+SQL_SPARQL_VIRTUAL_CONST = f"""
+SELECT DISTINCT '"' || n_name || '"' AS name,
+       '"' || n_regionkey || '"^^<{XSD_INT}>' AS rk
+FROM nation WHERE n_nationkey = 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2120,6 +2186,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_minus_having": (q_sparql_minus_having, SQL_SPARQL_MINUS_HAVING),
     "sparql_subquery": (q_sparql_subquery, SQL_SPARQL_SUBQUERY),
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
+    "sparql_virtual_join": (q_sparql_virtual_join, SQL_SPARQL_VIRTUAL_JOIN),
+    "sparql_virtual_const": (q_sparql_virtual_const, SQL_SPARQL_VIRTUAL_CONST),
 }
 
 

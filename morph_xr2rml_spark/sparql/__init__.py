@@ -7,10 +7,13 @@ from .bgp import (
     sparql_select,
 )
 from .results import ask, parse_term, to_sparql_json, to_sparql_xml, write_csv, write_tsv
+from .virtual import VirtualGraph, bind_patterns
 
 __all__ = [
     "SelectQuery",
+    "VirtualGraph",
     "ask",
+    "bind_patterns",
     "parse_sparql",
     "parse_term",
     "sparql_construct",

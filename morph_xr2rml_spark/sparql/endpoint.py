@@ -43,15 +43,25 @@ def _query_form(query: str) -> str:
 
 
 def evaluate(
-    triples: DataFrame, query: str, accept: str = "", max_rows: int = 10_000
+    triples, query: str, accept: str = "", max_rows: int = 10_000
 ) -> tuple[str, str]:
-    """-> (content_type, body) for one SPARQL protocol request."""
+    """-> (content_type, body) for one SPARQL protocol request.
+
+    ``triples`` is a materialized triple DataFrame — or a
+    :class:`..sparql.virtual.VirtualGraph`, in which case each request
+    is answered in the reference's rewriting mode (per-request
+    translation against the mapped sources, SparqlRestService ->
+    MorphBaseRunner.runQuery:57-107) instead of from a materialized
+    table."""
+    virtual = hasattr(triples, "fragment")
     form = _query_form(query)
     want_xml = any(t in accept for t in _XML_TYPES)
     if form == "ASK":
         # strip the ASK keyword into a SELECT * / LIMIT 1 existence probe
         body = re.sub(r"\bASK\b", "SELECT *", query, count=1, flags=re.IGNORECASE)
-        result = ask(sparql_select(triples, body))
+        result = (
+            triples.ask(query) if virtual else ask(sparql_select(triples, body))
+        )
         if want_xml:
             return (
                 "application/sparql-results+xml",
@@ -65,17 +75,27 @@ def evaluate(
         )
     if form in ("CONSTRUCT", "DESCRIBE"):
         if form == "CONSTRUCT":
-            out = sparql_construct(triples, query)
+            out = (
+                triples.construct(query)
+                if virtual
+                else sparql_construct(triples, query)
+            )
         else:
             m = re.search(r"DESCRIBE\s+(<[^>]*>)", query, re.IGNORECASE)
             if m:
-                out = sparql_describe(triples, m.group(1))
+                out = (
+                    triples.describe(m.group(1))
+                    if virtual
+                    else sparql_describe(triples, m.group(1))
+                )
+            elif virtual:
+                out = triples.describe_where(query)
             else:
                 out = sparql_describe_where(triples, query)
         rows = out.limit(max_rows).collect()
         nt = "".join(f"{r['subj']} {r['pred']} {r['obj']} .\n" for r in rows)
         return ("application/n-triples", nt)
-    df = sparql_select(triples, query)
+    df = triples.select(query) if virtual else sparql_select(triples, query)
     if want_xml:
         return ("application/sparql-results+xml", to_sparql_xml(df, max_rows))
     return ("application/sparql-results+json", to_sparql_json(df, max_rows))
@@ -89,7 +109,11 @@ class SparqlEndpoint:
     a parquet-backed DataFrame freezes its file listing at analysis
     time, so a fixed frame would never see microbatches committed after
     endpoint construction, while a per-request ``spark.read.parquet``
-    re-lists the sink directory."""
+    re-lists the sink directory. Passing a
+    :class:`..sparql.virtual.VirtualGraph` (directly or from the
+    provider) serves every request in the reference's rewriting mode —
+    per-request translation against the mapped sources, never a full
+    materialization (SparqlRestService -> runQuery)."""
 
     def __init__(self, triples, host: str = "127.0.0.1",
                  port: int = 0, max_rows: int = 10_000):

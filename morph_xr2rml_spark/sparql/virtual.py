@@ -1,0 +1,580 @@
+"""Late SPARQL evaluation over a *virtual* mapped graph — answering a
+SPARQL query directly against the mapped sources, without first
+materializing the full triple set.
+
+This is the Spark-first re-expression of the reference's SPARQL
+query-rewriting mode (its second entry point):
+
+- ``MorphBaseRunner.runQuery`` (MorphBaseRunner.scala:57-107) drives
+  rewriting instead of materialization;
+- ``MorphBaseTriplePatternBinder.bindm``:50-213 / ``bindmTP``:223-249
+  bind each triple pattern to the triples maps that could produce
+  matching triples (template/constant compatibility)  →  here
+  :func:`bind_patterns` / :func:`_tm_binding`;
+- ``genCond`` / ``genCondParent`` (MorphBaseQueryTranslator.scala:227-355)
+  turn the pattern's constant terms into conditions on the source query
+  →  here constant subjects/objects invert the term-map template
+  (``getTemplateMatching``, TemplateUtility.scala:36-69 analogue) into
+  a Catalyst filter applied to the source scan *before* term
+  construction, so the reduction happens at the scan;
+- ``excludeTriplesAboutCollecOrContainer``
+  (MorphMongoQueryTranslator.scala:270-378)  →  collection/container
+  branches only bind patterns whose predicate is the POM's own or in
+  the RDF vocabulary namespace;
+- ``MorphMongoQueryProcessor.process``:45-150 materializes only the
+  bound fragments into a temporary Jena graph and re-evaluates the
+  original SPARQL on it with ARQ  →  here the bound branches union into
+  a *reduced, distributed* triple frame and the existing evaluator
+  (:func:`..sparql.bgp.sparql_select`) runs over it.
+
+The binder is a **reducer, never an oracle**: a triples-map branch is
+skipped only when it *provably* cannot produce a matching triple
+(constant mismatch, template that cannot match the pattern's IRI,
+term-type clash). Anything uncertain stays in, and per-pattern residual
+equality filters plus the evaluator's own pattern matching guarantee
+exactness — so virtual answers are always identical to
+materialize-then-query answers, just computed over a fraction of the
+data. Property paths that can have zero length (``*``/``?``) or negated
+property sets disable predicate pruning for their pattern (a zero-length
+path ranges over every graph node, so the whole graph is that pattern's
+domain).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import replace
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compiler.compile import CompileOptions, MappingCompiler
+from ..functions import terms
+from ..functions.paths import MixedSyntaxPath
+from ..functions.templates import get_template_groups, get_template_matching
+from ..mapping.model import (
+    COLUMN,
+    CONSTANT,
+    TEMPLATE,
+    MappingDocument,
+    PredicateObjectMap,
+    TriplesMap,
+)
+from ..sources.catalog import SourceCatalog
+from .bgp import (
+    Group,
+    Path,
+    SelectQuery,
+    TriplePattern,
+    _is_var,
+    parse_sparql,
+    sparql_construct,
+    sparql_describe_where,
+    sparql_select,
+)
+from .results import parse_term
+
+_RDF_TYPE = f"<{terms.RDF_TYPE}>"
+
+# characters on which every encoding chain (encode_uri + encode_url,
+# functions/encoding.py) is the identity — pushdown and template-match
+# exclusion are only trusted when the text involved stays inside this set
+_ENCODING_INVARIANT = re.compile(r"^[A-Za-z0-9_.~\-:/#?&=@%]*$")
+_UNRESERVED = re.compile(r"^[A-Za-z0-9_.~\-]*$")
+
+
+# ---------------------------------------------------------------------------
+# pattern collection
+# ---------------------------------------------------------------------------
+
+
+def collect_patterns(group: Group) -> list[TriplePattern]:
+    """Every triple pattern reachable in a group tree (bindm walks the
+    whole algebra the same way, MorphBaseTriplePatternBinder.scala:50-213)."""
+    out: list[TriplePattern] = list(group.patterns)
+    for g in group.optionals:
+        out.extend(collect_patterns(g))
+    for branches in group.unions:
+        for g in branches:
+            out.extend(collect_patterns(g))
+    for _gterm, g in group.graphs:
+        out.extend(collect_patterns(g))
+    for _pos, g in group.exists:
+        out.extend(collect_patterns(g))
+    for g in group.minuses:
+        out.extend(collect_patterns(g))
+    for sub in group.subselects:
+        out.extend(collect_patterns(sub.where))
+    return out
+
+
+def _pred_candidates(p) -> frozenset[str] | None:
+    """Constant-predicate candidates of a pattern's predicate position:
+    a frozenset of ``<iri>`` strings, or None = unrestricted (variable
+    predicate, negated property set, or a path with a possibly
+    zero-length step, whose domain is every node of the graph)."""
+    if isinstance(p, Path):
+        if p.op in ("star", "opt", "nps"):
+            return None
+        acc: set[str] = set()
+        for arg in p.args:
+            sub = _pred_candidates(arg)
+            if sub is None:
+                return None
+            acc |= sub
+        return frozenset(acc)
+    if _is_var(p):
+        return None
+    return frozenset((p,))
+
+
+# ---------------------------------------------------------------------------
+# per-(pattern, triples map) binding — bindmTP analogue
+# ---------------------------------------------------------------------------
+
+
+def _constant_term(term_map, options: CompileOptions) -> str | None:
+    if term_map.kind != CONSTANT:
+        return None
+    member_tt, datatype, language = term_map.member_term_info()
+    return terms.make_term(
+        term_map.constant, member_tt, datatype, language,
+        options.encode_unsafe_chars_in_uri,
+    )
+
+
+def _template_invariant(template: str) -> bool:
+    """True when the template's literal parts are unchanged by the IRI
+    encoding chain, so textual template matching against an output IRI
+    is trustworthy as an exclusion test."""
+    masked = re.sub(r"\{[^}]*\}", "", template)
+    return bool(_ENCODING_INVARIANT.match(masked))
+
+
+def _iri_can_match(term_map, iri_term: str, options: CompileOptions) -> bool:
+    """Can this term map ever produce the constant ``<iri>`` term?
+    False only on *proof* of impossibility (bindmTP's compatibility
+    checks, MorphBaseTriplePatternBinder.scala:223-249)."""
+    tt = term_map.infer_term_type()
+    if tt == terms.TERM_LITERAL:
+        return False
+    if tt == terms.TERM_BLANKNODE:
+        return False
+    if term_map.kind == CONSTANT:
+        return _constant_term(term_map, options) == iri_term
+    if term_map.kind == TEMPLATE and _template_invariant(term_map.template):
+        return bool(get_template_matching(term_map.template, iri_term[1:-1]))
+    return True
+
+
+def _literal_can_match(term_map, lit: dict, options: CompileOptions) -> bool:
+    """Can this term map produce the parsed literal binding ``lit``
+    ({'value':…, 'datatype'?, 'xml:lang'?})?"""
+    member_tt, datatype, language = term_map.member_term_info()
+    if member_tt != terms.TERM_LITERAL:
+        return False
+    if term_map.kind == CONSTANT:
+        want = terms.make_literal(lit["value"], lit.get("datatype"), lit.get("xml:lang"))
+        return _constant_term(term_map, options) == want
+    if language is not None and lit.get("xml:lang") != language:
+        return False
+    if lit.get("xml:lang") and language is None:
+        return False
+    if datatype is not None and lit.get("datatype") != datatype:
+        return False
+    # column/reference maps infer a datatype from the source type at
+    # compile time — unknown here, so stay in (reducer, not oracle)
+    return True
+
+
+def _subject_compatible(tm: TriplesMap, s, options: CompileOptions) -> bool:
+    if _is_var(s):
+        return True
+    sm = tm.subject_map
+    if s.startswith("<"):
+        return _iri_can_match(sm, s, options)
+    if s.startswith("_:"):
+        return sm.infer_term_type() == terms.TERM_BLANKNODE
+    return False  # literal subjects cannot exist
+
+
+def _pom_emits_collection(pom: PredicateObjectMap) -> bool:
+    if any(om.is_collection for om in pom.object_maps):
+        return True
+    return any(rom.collection_term_type() for rom in pom.ref_object_maps)
+
+
+def _pom_pred_compatible(
+    pom: PredicateObjectMap,
+    preds: frozenset[str] | None,
+    options: CompileOptions,
+) -> bool:
+    if preds is None:
+        return True
+    if _pom_emits_collection(pom) and any(
+        p.startswith(f"<{terms.RDF_NS}") for p in preds
+    ):
+        # rdf:first/rest/_N/nil cells come from this POM's expansion
+        # (excludeTriplesAboutCollecOrContainer keeps these OUT of the
+        # reference's rewriting; we keep them IN the fragment instead)
+        return True
+    for pm in pom.predicate_maps:
+        const = _constant_term(pm, options)
+        if const is None:  # template/column predicate — unknown at bind time
+            return True
+        if const in preds:
+            return True
+    return False
+
+
+def _prune_pom(
+    pom: PredicateObjectMap, tp: TriplePattern, options: CompileOptions
+) -> PredicateObjectMap | None:
+    """Drop the POM (or its provably incompatible object maps) for one
+    pattern; None = the POM cannot contribute."""
+    preds = _pred_candidates(tp.p)
+    if not _pom_pred_compatible(pom, preds, options):
+        return None
+    o = tp.o
+    # object-based exclusion only for a plain predicate position (a path
+    # pattern's intermediate hops are unconstrained) and non-collection
+    # POMs (their connecting object is a generated blank node)
+    if isinstance(tp.p, Path) or _is_var(o) or _pom_emits_collection(pom):
+        return pom
+    keep_oms = []
+    for om in pom.object_maps:
+        if o.startswith("<"):
+            ok = _iri_can_match(om, o, options)
+        elif o.startswith("_:"):
+            ok = om.infer_term_type() == terms.TERM_BLANKNODE
+        else:
+            lit = parse_term(o)
+            ok = _literal_can_match(om, lit, options)
+        if ok:
+            keep_oms.append(om)
+    # a RefObjectMap's object is the parent's subject term — an IRI or
+    # blank node, never a literal
+    keep_roms = (
+        list(pom.ref_object_maps)
+        if (o.startswith("<") or o.startswith("_:"))
+        else []
+    )
+    if not keep_oms and not keep_roms:
+        return None
+    return replace(
+        pom, object_maps=tuple(keep_oms), ref_object_maps=tuple(keep_roms)
+    )
+
+
+def _tm_binding(
+    tm: TriplesMap, tp: TriplePattern, options: CompileOptions
+) -> TriplesMap | None:
+    """The pattern-pruned view of one triples map, or None when the map
+    provably cannot produce a triple matching the pattern."""
+    if not _subject_compatible(tm, tp.s, options):
+        return None
+    preds = _pred_candidates(tp.p)
+
+    keep_classes = tm.subject_map.class_uris
+    if preds is not None and _RDF_TYPE not in preds:
+        keep_classes = ()
+    elif (
+        not isinstance(tp.p, Path)
+        and not _is_var(tp.o)
+        and tp.o.startswith("<")
+        and preds == frozenset((_RDF_TYPE,))
+    ):
+        want = tp.o
+        keep_classes = tuple(
+            c for c in keep_classes
+            if terms.make_iri(c, options.encode_unsafe_chars_in_uri) == want
+        )
+
+    keep_poms = []
+    for pom in tm.predicate_object_maps:
+        pruned = _prune_pom(pom, tp, options)
+        if pruned is not None:
+            keep_poms.append(pruned)
+
+    if not keep_poms and not keep_classes:
+        return None
+    sm = tm.subject_map
+    if keep_classes != tm.subject_map.class_uris:
+        sm = replace(sm, class_uris=tuple(keep_classes))
+    return replace(
+        tm, subject_map=sm, predicate_object_maps=tuple(keep_poms)
+    )
+
+
+def bind_patterns(
+    doc: MappingDocument,
+    query: SelectQuery,
+    options: CompileOptions | None = None,
+) -> dict[int, list[tuple[TriplePattern, TriplesMap]]]:
+    """bindm analogue: pattern index -> [(pattern, pruned triples map)].
+    Purely driver-side over the mapping tree; no data is touched."""
+    options = options or CompileOptions()
+    out: dict[int, list[tuple[TriplePattern, TriplesMap]]] = {}
+    for i, tp in enumerate(collect_patterns(query.where)):
+        bound = []
+        for tm in doc.triples_maps.values():
+            pruned = _tm_binding(tm, tp, options)
+            if pruned is not None:
+                bound.append((tp, pruned))
+        out[i] = bound
+    return out
+
+
+# ---------------------------------------------------------------------------
+# constant pushdown — genCond analogue, as a Catalyst source filter
+# ---------------------------------------------------------------------------
+
+
+def _single_column_template(term_map) -> str | None:
+    """The lone simple source column of a one-group Column-formulation
+    template, else None."""
+    if term_map.kind != TEMPLATE or term_map.ref_formulation != "Column":
+        return None
+    groups = get_template_groups(term_map.template)
+    if len(groups) != 1:
+        return None
+    msp = MixedSyntaxPath.parse(groups[0], "Column")
+    return msp.referenced_column if msp.is_simple_column else None
+
+
+def _subject_pushdown(
+    tm: TriplesMap, s: str, src: DataFrame, options: CompileOptions
+) -> Column | None:
+    """Catalyst filter implied by ``subj == s`` for every triple this
+    map emits, or None. Only claimed when the template inversion is
+    provably exact: one group, encoding-invariant fixed parts, and a
+    recovered value on which percent-encoding is the identity."""
+    if not s.startswith("<"):
+        return None
+    sm = tm.subject_map
+    col = _single_column_template(sm)
+    if col is None or col not in src.columns:
+        return None
+    if not _template_invariant(sm.template):
+        return None
+    match = get_template_matching(sm.template, s[1:-1])
+    if len(match) != 1:
+        return None
+    value = next(iter(match.values()))
+    if not _UNRESERVED.match(value):
+        return None
+    dtype = src.schema[col].dataType
+    return terms.lex_value_col(F.col(col), dtype) == F.lit(value)
+
+
+def _object_pushdown(
+    pruned: TriplesMap, tp: TriplePattern, src: DataFrame
+) -> Column | None:
+    """Catalyst filter implied by ``obj == tp.o`` — only when the pruned
+    map emits triples from exactly one plain column object map, so the
+    filter cannot suppress a row another branch still needs."""
+    if isinstance(tp.p, Path) or _is_var(tp.o) or not tp.o.startswith('"'):
+        return None
+    if pruned.subject_map.class_uris or len(pruned.predicate_object_maps) != 1:
+        return None
+    pom = pruned.predicate_object_maps[0]
+    if pom.ref_object_maps or len(pom.object_maps) != 1:
+        return None
+    om = pom.object_maps[0]
+    if om.kind != COLUMN or om.column not in src.columns:
+        return None
+    lit = parse_term(tp.o)
+    raw = lit["value"]
+    dtype = src.schema[om.column].dataType
+    return terms.lex_value_col(F.col(om.column), dtype) == F.lit(raw)
+
+
+# ---------------------------------------------------------------------------
+# the virtual graph
+# ---------------------------------------------------------------------------
+
+
+class VirtualGraph:
+    """Answer SPARQL queries over the graph a mapping *would* produce,
+    materializing only the fragments the query's patterns can touch.
+
+    ``fragment(query)`` is the reduced triple frame (the distributed
+    analogue of the reference's temporary Jena graph,
+    MorphMongoQueryProcessor.process:45-150); ``select`` / ``construct``
+    / ``ask`` / ``describe`` evaluate the full SPARQL surface over it
+    with the ordinary distributed evaluator."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        doc: MappingDocument,
+        catalog: SourceCatalog,
+        options: CompileOptions | None = None,
+    ):
+        self.spark = spark
+        self.doc = doc
+        self.catalog = catalog
+        self.options = options or CompileOptions()
+        self._compilers: list[MappingCompiler] = []
+
+    # -- fragment construction --------------------------------------------
+
+    def _filtered_catalog(self, table: str, cond: Column) -> SourceCatalog:
+        cat = SourceCatalog(
+            self.spark, dict(self.catalog.tables), dict(self.catalog.doc_columns)
+        )
+        cat.unique_keys = dict(self.catalog.unique_keys)
+        cat.tables[table] = self.catalog._table(table).filter(cond)
+        return cat
+
+    def _tp_frames(self, tp: TriplePattern) -> list[DataFrame]:
+        frames: list[DataFrame] = []
+        is_path = isinstance(tp.p, Path)
+        for tm in self.doc.triples_maps.values():
+            pruned = _tm_binding(tm, tp, self.options)
+            if pruned is None:
+                continue
+            catalog = self.catalog
+            ls = tm.logical_source
+            if ls.kind == "table" and not ls.iterator and not is_path:
+                src = self.catalog._table(ls.value)
+                cond = _subject_pushdown(pruned, tp.s, src, self.options)
+                ocond = _object_pushdown(pruned, tp, src)
+                if ocond is not None:
+                    cond = ocond if cond is None else (cond & ocond)
+                if cond is not None:
+                    catalog = self._filtered_catalog(ls.value, cond)
+            doc2 = MappingDocument(
+                triples_maps={**self.doc.triples_maps, tm.name: pruned},
+                prefixes=self.doc.prefixes,
+            )
+            comp = MappingCompiler(self.spark, doc2, catalog, self.options)
+            self._compilers.append(comp)
+            frame = comp.triples_for(tm.name)
+            if frame is None:
+                continue
+            if not is_path:
+                # residual exact restriction (the binder only proves
+                # *possible*; these make the fragment tight)
+                for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
+                    if not _is_var(term):
+                        frame = frame.where(F.col(pos) == F.lit(term))
+            frames.append(frame)
+        return frames
+
+    def fragment(self, query: str | SelectQuery) -> DataFrame:
+        """The deduplicated union of every bound, pushed-down branch —
+        a subset of ``MappingCompiler.triples()`` sufficient to answer
+        the query exactly."""
+        q = parse_sparql(query) if isinstance(query, str) else query
+        if self._has_graphs(q.where):
+            raise NotImplementedError(
+                "virtual evaluation covers the default graph; for GRAPH "
+                "patterns materialize quads (MappingCompiler.quads()) and "
+                "use sparql_select directly"
+            )
+        frames: list[DataFrame] = []
+        for tp in collect_patterns(q.where):
+            frames.extend(self._tp_frames(tp))
+        if not frames:
+            return self.spark.createDataFrame(
+                [], "subj string, pred string, obj string"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        # set semantics over the REDUCED frame (the full graph's dedup
+        # shuffle never happens in virtual mode)
+        return out.dropDuplicates()
+
+    # -- query surface ------------------------------------------------------
+
+    def select(self, query: str | SelectQuery) -> DataFrame:
+        q = parse_sparql(query) if isinstance(query, str) else query
+        return sparql_select(self.fragment(q), q)
+
+    def construct(self, query: str) -> DataFrame:
+        from .bgp import (
+            _CONSTRUCT_RE,
+            _PREFIX_RE,
+            _match_brace,
+            _parse_group,
+            _parse_triples,
+        )
+
+        prefixes = dict(_PREFIX_RE.findall(query))
+        body = _PREFIX_RE.sub("", query)
+        mc = _CONSTRUCT_RE.search(body)
+        if mc:
+            start = body.index("{", mc.end() - 1)
+            where = _parse_group(
+                body[start + 1 : _match_brace(body, start)], prefixes
+            )
+        else:
+            ms = re.search(r"CONSTRUCT\s+WHERE\s*\{", body, re.IGNORECASE)
+            if not ms:
+                raise ValueError("not a CONSTRUCT query")
+            start = ms.end() - 1
+            where = Group(
+                patterns=_parse_triples(
+                    body[start + 1 : _match_brace(body, start)], prefixes
+                )
+            )
+        frag = self.fragment(SelectQuery(variables=[], where=where))
+        return sparql_construct(frag, query)
+
+    @staticmethod
+    def _has_graphs(group: Group) -> bool:
+        if group.graphs:
+            return True
+        subs = (
+            group.optionals
+            + [g for br in group.unions for g in br]
+            + [g for _p, g in group.exists]
+            + group.minuses
+            + [s.where for s in group.subselects]
+        )
+        return any(VirtualGraph._has_graphs(g) for g in subs)
+
+    def ask(self, query: str) -> bool:
+        m = re.search(r"\bASK\b", query, re.IGNORECASE)
+        if m:  # expandAsk analogue (SparqlQueryRewriter)
+            rest = query[m.end():].lstrip()
+            kw = "" if rest[:5].upper() == "WHERE" else "WHERE "
+            query = query[: m.start()] + "SELECT * " + kw + rest
+        q = parse_sparql(query)
+        q.limit = 1
+        return bool(sparql_select(self.fragment(q), q).take(1))
+
+    def describe(self, resource: str) -> DataFrame:
+        """DESCRIBE <iri>, virtually: the fragment of every triple the
+        resource can appear in (subject or object position) is exactly
+        the description, so no other part of the graph is built."""
+        iri = resource if resource.startswith("<") else f"<{resource}>"
+        frag = self.fragment(
+            SelectQuery(
+                variables=[],
+                where=Group(
+                    patterns=[
+                        TriplePattern(iri, "?p", "?o"),
+                        TriplePattern("?s", "?p2", iri),
+                    ]
+                ),
+            )
+        )
+        return frag.where(
+            (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
+        )
+
+    def describe_where(self, query: str) -> DataFrame:
+        # DESCRIBE needs every property of the matched resources, which
+        # only the full graph knows — evaluate the WHERE virtually, then
+        # describe against the full mapped graph
+        comp = MappingCompiler(self.spark, self.doc, self.catalog, self.options)
+        self._compilers.append(comp)
+        return sparql_describe_where(comp.triples(), query)
+
+    def release(self) -> None:
+        for comp in self._compilers:
+            comp.release()
+        self._compilers.clear()

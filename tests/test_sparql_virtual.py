@@ -1,0 +1,470 @@
+"""Virtual (late) SPARQL evaluation: binder pruning, source-filter
+pushdown, and exact equivalence with materialize-then-query.
+
+Reference behavior being re-expressed: MorphBaseRunner.runQuery
+(MorphBaseRunner.scala:57-107) -> bindm/bindmTP triple-pattern binding
+(MorphBaseTriplePatternBinder.scala:50-213,223-249) -> genCond constant
+pushdown (MorphBaseQueryTranslator.scala:227-355) -> evaluate the
+original SPARQL over the matched fragments only
+(MorphMongoQueryProcessor.scala:45-150)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from morph_xr2rml_spark.compiler.compile import MappingCompiler
+from morph_xr2rml_spark.mapping.parser import parse_mapping
+from morph_xr2rml_spark.sources.catalog import SourceCatalog
+from morph_xr2rml_spark.sparql import sparql_select
+from morph_xr2rml_spark.sparql.virtual import VirtualGraph, bind_patterns
+from morph_xr2rml_spark.sparql.bgp import parse_sparql
+
+TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMDept>
+    xrr:logicalSource [ rr:tableName "dept"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [
+        rr:template "http://example.org/dept/{dno}";
+        rr:class ex:Department;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:deptName;
+        rr:objectMap [ rr:column "dname" ];
+    ];
+    .
+
+<#TMEmp>
+    xrr:logicalSource [ rr:tableName "emp"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [
+        rr:template "http://example.org/emp/{eid}";
+        rr:class ex:Employee;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:name;
+        rr:objectMap [ rr:column "ename" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:salary;
+        rr:objectMap [ rr:column "salary" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:dept;
+        rr:objectMap [
+            rr:parentTriplesMap <#TMDept>;
+            rr:joinCondition [ rr:child "dno"; rr:parent "dno" ];
+        ];
+    ];
+    .
+"""
+
+PREFIX = "PREFIX ex: <http://example.org/ontology#>\n"
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    dept = spark.createDataFrame(
+        [(1, "Engineering"), (2, "Marketing"), (3, "Legal")],
+        "dno int, dname string",
+    )
+    emp = spark.createDataFrame(
+        [
+            (10, "alice", 120, 1),
+            (11, "bob", 95, 1),
+            (12, "carol", 80, 2),
+            (13, "dave", 80, 3),
+        ],
+        "eid int, ename string, salary int, dno int",
+    )
+    doc = parse_mapping(TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", dept, unique_key=["dno"])
+        .register("emp", emp, unique_key=["eid"])
+    )
+    triples = MappingCompiler(spark, doc, catalog).triples()
+    return doc, catalog, triples
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# binder pruning
+# ---------------------------------------------------------------------------
+
+
+def test_binder_prunes_by_constant_predicate(setup):
+    doc, _c, _t = setup
+    q = parse_sparql(PREFIX + "SELECT ?n WHERE { ?e ex:name ?n }")
+    bound = bind_patterns(doc, q)
+    assert len(bound[0]) == 1
+    _tp, tm = bound[0][0]
+    assert tm.name.endswith("TMEmp")
+    # only the ex:name POM survives; rdf:type branches are pruned
+    assert len(tm.predicate_object_maps) == 1
+    assert tm.subject_map.class_uris == ()
+
+
+def test_binder_prunes_by_template_subject(setup):
+    doc, _c, _t = setup
+    q = parse_sparql(
+        PREFIX + "SELECT ?p ?o WHERE { <http://example.org/dept/2> ?p ?o }"
+    )
+    bound = bind_patterns(doc, q)
+    names = {tm.name for _tp, tm in bound[0]}
+    assert any(n.endswith("TMDept") for n in names)
+    assert not any(n.endswith("TMEmp") for n in names)
+
+
+def test_binder_keeps_class_for_rdf_type(setup):
+    doc, _c, _t = setup
+    q = parse_sparql(
+        "SELECT ?s WHERE { ?s a <http://example.org/ontology#Employee> }"
+    )
+    bound = bind_patterns(doc, q)
+    assert len(bound[0]) == 1
+    _tp, tm = bound[0][0]
+    assert tm.subject_map.class_uris == ("http://example.org/ontology#Employee",)
+    assert tm.predicate_object_maps == ()
+
+
+def test_binder_prunes_literal_object_against_iri_map(setup):
+    doc, _c, _t = setup
+    # ex:dept's object is a RefObjectMap (IRI) — a literal object can
+    # never match, so the whole pattern binds nothing
+    q = parse_sparql(PREFIX + 'SELECT ?e WHERE { ?e ex:dept "Engineering" }')
+    bound = bind_patterns(doc, q)
+    assert bound[0] == []
+
+
+# ---------------------------------------------------------------------------
+# equivalence with materialize-then-query
+# ---------------------------------------------------------------------------
+
+EQUIV_QUERIES = [
+    PREFIX + "SELECT ?n WHERE { ?e ex:name ?n }",
+    PREFIX + "SELECT ?e ?n ?d WHERE { ?e ex:name ?n . ?e ex:dept ?d }",
+    PREFIX
+    + """SELECT ?n ?dn WHERE {
+        ?e ex:name ?n . ?e ex:dept ?d . ?d ex:deptName ?dn .
+        FILTER(?dn != "Legal")
+    }""",
+    PREFIX
+    + """SELECT ?n ?s WHERE {
+        ?e ex:name ?n . OPTIONAL { ?e ex:salary ?s . FILTER(?s > 90) }
+    }""",
+    PREFIX
+    + """SELECT ?x WHERE {
+        { ?x ex:deptName "Engineering" } UNION { ?x ex:name "carol" }
+    }""",
+    "SELECT ?s WHERE { ?s a <http://example.org/ontology#Department> }",
+    PREFIX + "SELECT ?o WHERE { <http://example.org/emp/11> ex:dept ?o }",
+    PREFIX
+    + """SELECT ?d (COUNT(?e) AS ?cnt) WHERE {
+        ?e ex:dept ?d
+    } GROUP BY ?d ORDER BY ?d""",
+    # property path: dept of an employee, then its name (seq path)
+    PREFIX + "SELECT ?n ?dn WHERE { ?e ex:name ?n . ?e ex:dept/ex:deptName ?dn }",
+]
+
+
+@pytest.mark.parametrize("query", EQUIV_QUERIES)
+def test_virtual_equals_materialized(setup, spark, query):
+    doc, catalog, triples = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.select(query)) == _rows(sparql_select(triples, query))
+    finally:
+        vg.release()
+
+
+def test_virtual_ask(setup, spark):
+    doc, catalog, _t = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert vg.ask(PREFIX + 'ASK { ?e ex:name "alice" }') is True
+        assert vg.ask(PREFIX + 'ASK WHERE { ?e ex:name "zelda" }') is False
+    finally:
+        vg.release()
+
+
+def test_virtual_construct(setup, spark):
+    doc, catalog, triples = setup
+    q = (
+        PREFIX
+        + """CONSTRUCT { ?e <http://example.org/ontology#in> ?d }
+             WHERE { ?e ex:dept ?d }"""
+    )
+    from morph_xr2rml_spark.sparql import sparql_construct
+
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.construct(q)) == _rows(sparql_construct(triples, q))
+    finally:
+        vg.release()
+
+
+# ---------------------------------------------------------------------------
+# fragment reduction + pushdown
+# ---------------------------------------------------------------------------
+
+
+def test_fragment_is_reduced(setup, spark):
+    doc, catalog, triples = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(PREFIX + "SELECT ?n WHERE { ?e ex:name ?n }")
+        n_frag, n_full = frag.count(), triples.count()
+        assert n_frag == 4  # one ex:name triple per employee
+        assert n_frag < n_full
+    finally:
+        vg.release()
+
+
+def test_constant_subject_pushdown_reaches_source(setup, spark):
+    doc, catalog, _t = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX + "SELECT ?n WHERE { <http://example.org/emp/12> ex:name ?n }"
+        )
+        plan = frag._jdf.queryExecution().optimizedPlan().toString()
+        # the template inversion must land on the raw source column —
+        # i.e. the filter compares eid BEFORE term construction
+        assert "eid" in plan and "12" in plan
+        rows = frag.collect()
+        assert [r.obj for r in rows] == ['"carol"']
+    finally:
+        vg.release()
+
+
+def test_constant_object_pushdown(setup, spark):
+    doc, catalog, triples = setup
+    q = PREFIX + 'SELECT ?e WHERE { ?e ex:name "bob" }'
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(q)
+        plan = frag._jdf.queryExecution().optimizedPlan().toString()
+        assert "ename" in plan and "bob" in plan
+        assert _rows(vg.select(q)) == _rows(sparql_select(triples, q))
+    finally:
+        vg.release()
+
+
+def test_no_false_exclusion_on_ambiguous_template(spark):
+    # multi-group template: inversion is ambiguous ("1-2" + "3" vs
+    # "1" + "2-3"), so NO source pushdown may fire; the residual term
+    # filter must still produce the right answer
+    ttl = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+<#TM>
+    xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/x/{a}-{b}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:v; rr:objectMap [ rr:column "v" ];
+    ];
+    .
+"""
+    t = spark.createDataFrame(
+        [("1-2", "3", "first"), ("1", "2-3", "second")],
+        "a string, b string, v string",
+    )
+    doc = parse_mapping(ttl)
+    catalog = SourceCatalog(spark).register("t", t)
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        rows = _rows(
+            vg.select(
+                "PREFIX ex: <http://example.org/ontology#>\n"
+                "SELECT ?v WHERE { <http://example.org/x/1-2-3> ex:v ?v }"
+            )
+        )
+        assert rows == [('"first"',), ('"second"',)]
+    finally:
+        vg.release()
+
+
+def test_zero_length_path_uses_full_graph(setup, spark):
+    doc, catalog, triples = setup
+    # ex:dept? (zero-or-one) relates every node to itself — predicate
+    # pruning must be disabled for the pattern or nodes reachable only
+    # via other predicates would vanish
+    q = PREFIX + "SELECT ?x ?y WHERE { ?x ex:dept? ?y }"
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.select(q)) == _rows(sparql_select(triples, q))
+    finally:
+        vg.release()
+
+
+def test_rdf_list_patterns_bind_collection_pom(spark):
+    ttl = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+<#TM>
+    xrr:logicalSource [ rr:tableName "t"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/s/{k}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:items;
+        rr:objectMap [ rr:column "item"; rr:termType xrr:RdfList ];
+    ];
+    .
+"""
+    t = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, item string"
+    )
+    doc = parse_mapping(ttl)
+    catalog = SourceCatalog(spark).register("t", t)
+    triples = MappingCompiler(spark, doc, catalog).triples()
+    q = (
+        "SELECT ?s ?v WHERE { ?s "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first> ?v }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        assert got == _rows(sparql_select(triples, q))
+        assert len(got) > 0
+    finally:
+        vg.release()
+
+
+# ---------------------------------------------------------------------------
+# differential: virtual vs materialized on randomized sources + queries
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_NAMES = ["alice", "bob", "x y", "née", ""]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    emp_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.sampled_from(_NAMES),
+            st.integers(min_value=0, max_value=150),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    dept_rows=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4), st.sampled_from(_NAMES)),
+        min_size=0,
+        max_size=4,
+        unique_by=lambda r: r[0],
+    ),
+    qidx=st.integers(min_value=0, max_value=6),
+    const_id=st.integers(min_value=0, max_value=6),
+    const_name=st.sampled_from(_NAMES),
+)
+def _virtual_differential(spark, emp_rows, dept_rows, qidx, const_id, const_name):
+    emp = spark.createDataFrame(
+        emp_rows or [(None, None, None, None)],
+        "eid int, ename string, salary int, dno int",
+    )
+    if not emp_rows:
+        emp = emp.where("eid IS NOT NULL")
+    dept = spark.createDataFrame(
+        dept_rows or [(None, None)], "dno int, dname string"
+    )
+    if not dept_rows:
+        dept = dept.where("dno IS NOT NULL")
+    doc = parse_mapping(TTL)
+    catalog = (
+        SourceCatalog(spark).register("dept", dept).register("emp", emp)
+    )
+    esc = const_name.replace("\\", "\\\\").replace('"', '\\"')
+    queries = [
+        PREFIX + "SELECT ?e ?n WHERE { ?e ex:name ?n }",
+        PREFIX + f'SELECT ?e WHERE {{ ?e ex:name "{esc}" }}',
+        PREFIX
+        + f"SELECT ?p ?o WHERE {{ <http://example.org/emp/{const_id}> ?p ?o }}",
+        PREFIX
+        + "SELECT ?n ?dn WHERE { ?e ex:name ?n . ?e ex:dept/ex:deptName ?dn }",
+        PREFIX
+        + f"""SELECT ?n WHERE {{
+            ?e ex:name ?n .
+            OPTIONAL {{ ?e ex:dept ?d . ?d ex:deptName "{esc}" }}
+            FILTER(BOUND(?d))
+        }}""",
+        "SELECT ?s WHERE { ?s a <http://example.org/ontology#Employee> }",
+        PREFIX
+        + f"""SELECT ?x WHERE {{
+            {{ ?x ex:deptName "{esc}" }} UNION {{ ?x ex:salary ?s . FILTER(?s > 90) }}
+        }}""",
+    ]
+    q = queries[qidx]
+    triples = MappingCompiler(spark, doc, catalog).triples()
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        want = _rows(sparql_select(triples, q))
+        assert got == want, f"query: {q}\nemp: {emp_rows}\ndept: {dept_rows}"
+    finally:
+        vg.release()
+
+
+def test_differential_virtual_vs_materialized(spark):
+    _virtual_differential(spark)
+
+
+# ---------------------------------------------------------------------------
+# SPARQL protocol endpoint in rewriting mode (per-request translation,
+# SparqlRestService -> MorphBaseRunner.runQuery:57-107 analogue)
+# ---------------------------------------------------------------------------
+
+
+def test_endpoint_serves_virtual_graph(setup, spark):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from morph_xr2rml_spark.sparql.endpoint import SparqlEndpoint
+
+    doc, catalog, triples = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    ep = SparqlEndpoint(vg).start()
+    try:
+        base = f"http://127.0.0.1:{ep.port}/sparql"
+        q = PREFIX + "SELECT ?n WHERE { <http://example.org/emp/10> ex:name ?n }"
+        with urllib.request.urlopen(
+            base + "?query=" + urllib.parse.quote(q)
+        ) as r:
+            body = json.loads(r.read())
+        vals = [b["n"]["value"] for b in body["results"]["bindings"]]
+        assert vals == ["alice"]
+
+        with urllib.request.urlopen(
+            base + "?query=" + urllib.parse.quote(
+                PREFIX + 'ASK { ?e ex:name "bob" }'
+            )
+        ) as r:
+            assert json.loads(r.read())["boolean"] is True
+
+        with urllib.request.urlopen(
+            base + "?query=" + urllib.parse.quote(
+                "DESCRIBE <http://example.org/dept/1>"
+            )
+        ) as r:
+            nt = r.read().decode()
+        from morph_xr2rml_spark.sparql import sparql_describe
+
+        want = {
+            f"{r_.subj} {r_.pred} {r_.obj} ."
+            for r_ in sparql_describe(
+                triples, "http://example.org/dept/1"
+            ).collect()
+        }
+        assert set(nt.strip().splitlines()) == want and want
+    finally:
+        ep.stop()
+        vg.release()
