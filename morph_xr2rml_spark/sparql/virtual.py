@@ -266,11 +266,13 @@ def _prune_pom(
     )
 
 
-def _tm_binding(
+def _bind_detail(
     tm: TriplesMap, tp: TriplePattern, options: CompileOptions
-) -> TriplesMap | None:
-    """The pattern-pruned view of one triples map, or None when the map
-    provably cannot produce a triple matching the pattern."""
+) -> tuple[tuple[str, ...], list[tuple[int, PredicateObjectMap]]] | None:
+    """(kept class IRIs, [(original POM index, pruned POM)]) for one
+    (pattern, triples map) pair, or None when the map provably cannot
+    produce a matching triple. The index survives pruning so bindings of
+    several patterns to the same map can merge into one compilation."""
     if not _subject_compatible(tm, tp.s, options):
         return None
     preds = _pred_candidates(tp.p)
@@ -290,20 +292,82 @@ def _tm_binding(
             if terms.make_iri(c, options.encode_unsafe_chars_in_uri) == want
         )
 
-    keep_poms = []
-    for pom in tm.predicate_object_maps:
+    kept: list[tuple[int, PredicateObjectMap]] = []
+    for i, pom in enumerate(tm.predicate_object_maps):
         pruned = _prune_pom(pom, tp, options)
         if pruned is not None:
-            keep_poms.append(pruned)
+            kept.append((i, pruned))
 
-    if not keep_poms and not keep_classes:
+    if not kept and not keep_classes:
         return None
+    return tuple(keep_classes), kept
+
+
+def _detail_to_tm(
+    tm: TriplesMap,
+    detail: tuple[tuple[str, ...], list[tuple[int, PredicateObjectMap]]],
+) -> TriplesMap:
+    keep_classes, kept = detail
     sm = tm.subject_map
     if keep_classes != tm.subject_map.class_uris:
-        sm = replace(sm, class_uris=tuple(keep_classes))
+        sm = replace(sm, class_uris=keep_classes)
     return replace(
-        tm, subject_map=sm, predicate_object_maps=tuple(keep_poms)
+        tm,
+        subject_map=sm,
+        predicate_object_maps=tuple(pom for _i, pom in kept),
     )
+
+
+def _merge_details(
+    tm: TriplesMap,
+    details: list[tuple[tuple[str, ...], list[tuple[int, PredicateObjectMap]]]],
+) -> TriplesMap:
+    """Union of several patterns' prunings of the same triples map —
+    the widest fragment any of them needs, compiled (and scanned) once.
+    This is the rewriting-mode twin of the reference's self-join
+    elimination (MorphBaseQueryOptimizer: several triple patterns over
+    one logical source share its query)."""
+    class_set: set[str] = set()
+    for keep_classes, _k in details:
+        class_set.update(keep_classes)
+    classes = tuple(c for c in tm.subject_map.class_uris if c in class_set)
+
+    merged: dict[int, PredicateObjectMap] = {}
+    for _c, kept in details:
+        for i, pom in kept:
+            prev = merged.get(i)
+            if prev is None:
+                merged[i] = pom
+                continue
+            # widen: union of surviving object maps / ref-object maps
+            # (term-map objects keep their identity through replace())
+            oms = list(prev.object_maps)
+            oms += [om for om in pom.object_maps if not any(om is o for o in oms)]
+            roms = list(prev.ref_object_maps)
+            roms += [
+                rm for rm in pom.ref_object_maps
+                if not any(rm is r for r in roms)
+            ]
+            merged[i] = replace(
+                prev, object_maps=tuple(oms), ref_object_maps=tuple(roms)
+            )
+    sm = tm.subject_map
+    if classes != tm.subject_map.class_uris:
+        sm = replace(sm, class_uris=classes)
+    return replace(
+        tm,
+        subject_map=sm,
+        predicate_object_maps=tuple(merged[i] for i in sorted(merged)),
+    )
+
+
+def _tm_binding(
+    tm: TriplesMap, tp: TriplePattern, options: CompileOptions
+) -> TriplesMap | None:
+    """The pattern-pruned view of one triples map, or None when the map
+    provably cannot produce a triple matching the pattern."""
+    detail = _bind_detail(tm, tp, options)
+    return None if detail is None else _detail_to_tm(tm, detail)
 
 
 def bind_patterns(
@@ -416,6 +480,7 @@ class VirtualGraph:
         self.catalog = catalog
         self.options = options or CompileOptions()
         self._compilers: list[MappingCompiler] = []
+        self._persisted: list[DataFrame] = []
 
     # -- fragment construction --------------------------------------------
 
@@ -427,45 +492,40 @@ class VirtualGraph:
         cat.tables[table] = self.catalog._table(table).filter(cond)
         return cat
 
-    def _tp_frames(self, tp: TriplePattern) -> list[DataFrame]:
-        frames: list[DataFrame] = []
-        is_path = isinstance(tp.p, Path)
-        for tm in self.doc.triples_maps.values():
-            pruned = _tm_binding(tm, tp, self.options)
-            if pruned is None:
-                continue
-            catalog = self.catalog
-            ls = tm.logical_source
-            if ls.kind == "table" and not ls.iterator and not is_path:
-                src = self.catalog._table(ls.value)
-                cond = _subject_pushdown(pruned, tp.s, src, self.options)
-                ocond = _object_pushdown(pruned, tp, src)
-                if ocond is not None:
-                    cond = ocond if cond is None else (cond & ocond)
-                if cond is not None:
-                    catalog = self._filtered_catalog(ls.value, cond)
-            doc2 = MappingDocument(
-                triples_maps={**self.doc.triples_maps, tm.name: pruned},
-                prefixes=self.doc.prefixes,
-            )
-            comp = MappingCompiler(self.spark, doc2, catalog, self.options)
-            self._compilers.append(comp)
-            frame = comp.triples_for(tm.name)
-            if frame is None:
-                continue
-            if not is_path:
-                # residual exact restriction (the binder only proves
-                # *possible*; these make the fragment tight)
-                for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
-                    if not _is_var(term):
-                        frame = frame.where(F.col(pos) == F.lit(term))
-            frames.append(frame)
-        return frames
+    def _compile_tm(
+        self, name: str, pruned: TriplesMap, catalog: SourceCatalog
+    ) -> DataFrame | None:
+        doc2 = MappingDocument(
+            triples_maps={**self.doc.triples_maps, name: pruned},
+            prefixes=self.doc.prefixes,
+        )
+        comp = MappingCompiler(self.spark, doc2, catalog, self.options)
+        self._compilers.append(comp)
+        return comp.triples_for(name)
+
+    @staticmethod
+    def _residual(frame: DataFrame, tp: TriplePattern) -> DataFrame:
+        """Exact restriction to the pattern's constants (the binder only
+        proves *possible*; these make the fragment tight). Path patterns
+        get none — their intermediate hops are unconstrained."""
+        if isinstance(tp.p, Path):
+            return frame
+        for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
+            if not _is_var(term):
+                frame = frame.where(F.col(pos) == F.lit(term))
+        return frame
 
     def fragment(self, query: str | SelectQuery) -> DataFrame:
         """The deduplicated union of every bound, pushed-down branch —
         a subset of ``MappingCompiler.triples()`` sufficient to answer
-        the query exactly."""
+        the query exactly.
+
+        Patterns that bind the same triples map without a
+        pattern-specific source filter share ONE compilation of the
+        union of their prunings (persisted, so the source is scanned
+        once and each pattern's residual reads the cached fragment) —
+        the rewriting-mode twin of the reference's self-join
+        elimination over a shared logical-source query."""
         q = parse_sparql(query) if isinstance(query, str) else query
         if self._has_graphs(q.where):
             raise NotImplementedError(
@@ -474,8 +534,48 @@ class VirtualGraph:
                 "use sparql_select directly"
             )
         frames: list[DataFrame] = []
+        shared: dict[str, list[tuple[TriplePattern, tuple]]] = {}
         for tp in collect_patterns(q.where):
-            frames.extend(self._tp_frames(tp))
+            is_path = isinstance(tp.p, Path)
+            for tm in self.doc.triples_maps.values():
+                detail = _bind_detail(tm, tp, self.options)
+                if detail is None:
+                    continue
+                cond = None
+                ls = tm.logical_source
+                if ls.kind == "table" and not ls.iterator and not is_path:
+                    pruned = _detail_to_tm(tm, detail)
+                    src = self.catalog._table(ls.value)
+                    cond = _subject_pushdown(pruned, tp.s, src, self.options)
+                    ocond = _object_pushdown(pruned, tp, src)
+                    if ocond is not None:
+                        cond = ocond if cond is None else (cond & ocond)
+                if cond is not None:
+                    frame = self._compile_tm(
+                        tm.name, pruned, self._filtered_catalog(ls.value, cond)
+                    )
+                    if frame is not None:
+                        frames.append(self._residual(frame, tp))
+                else:
+                    shared.setdefault(tm.name, []).append((tp, detail))
+        for tm_name, entries in shared.items():
+            tm = self.doc.triples_maps[tm_name]
+            if len(entries) == 1:
+                tp, detail = entries[0]
+                frame = self._compile_tm(
+                    tm_name, _detail_to_tm(tm, detail), self.catalog
+                )
+                if frame is not None:
+                    frames.append(self._residual(frame, tp))
+                continue
+            merged = _merge_details(tm, [d for _tp, d in entries])
+            base = self._compile_tm(tm_name, merged, self.catalog)
+            if base is None:
+                continue
+            base = base.persist()
+            self._persisted.append(base)
+            for tp, _d in entries:
+                frames.append(self._residual(base, tp))
         if not frames:
             return self.spark.createDataFrame(
                 [], "subj string, pred string, obj string"
@@ -578,3 +678,6 @@ class VirtualGraph:
         for comp in self._compilers:
             comp.release()
         self._compilers.clear()
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()

@@ -468,3 +468,23 @@ def test_endpoint_serves_virtual_graph(setup, spark):
     finally:
         ep.stop()
         vg.release()
+
+
+def test_same_tm_patterns_share_one_compilation(setup, spark):
+    doc, catalog, triples = setup
+    q = (
+        PREFIX
+        + """SELECT ?e ?n ?s WHERE {
+            ?e ex:name ?n . ?e ex:salary ?s . ?e a ex:Employee .
+        }"""
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        # three patterns, all binding TMEmp, no pattern-specific source
+        # filter -> ONE merged compilation (and one persisted fragment)
+        assert len(vg._compilers) == 1
+        assert len(vg._persisted) == 1
+        assert got == _rows(sparql_select(triples, q))
+    finally:
+        vg.release()
