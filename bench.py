@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "sparql_order_numeric",
     "sparql_construct",
     "sparql_path_closure",
+    # rewriting mode: answered against the mapped sources directly —
+    # no triple-stage read, no full materialization
+    "sparql_virtual_join",
 ]
 
 # 72x replication (~360k docs, 11.2M output triples) sizes the scaling

@@ -91,20 +91,33 @@ _UNRESERVED = re.compile(r"^[A-Za-z0-9_.~\-]*$")
 def collect_patterns(group: Group) -> list[TriplePattern]:
     """Every triple pattern reachable in a group tree (bindm walks the
     whole algebra the same way, MorphBaseTriplePatternBinder.scala:50-213)."""
-    out: list[TriplePattern] = list(group.patterns)
+    return [tp for _g, tp in collect_patterns_g(group)]
+
+
+def collect_patterns_g(
+    group: Group, gctx: str | None = None
+) -> list[tuple[str | None, TriplePattern]]:
+    """Every reachable triple pattern paired with its graph context:
+    None = default graph (outside any GRAPH), ``?g`` = any named graph,
+    ``<iri>`` = that named graph. Mirrors the evaluator's graph
+    propagation (``_group_df_info``): GRAPH sets the context for its
+    sub-group; everything else inherits."""
+    out: list[tuple[str | None, TriplePattern]] = [
+        (gctx, tp) for tp in group.patterns
+    ]
     for g in group.optionals:
-        out.extend(collect_patterns(g))
+        out.extend(collect_patterns_g(g, gctx))
     for branches in group.unions:
         for g in branches:
-            out.extend(collect_patterns(g))
-    for _gterm, g in group.graphs:
-        out.extend(collect_patterns(g))
+            out.extend(collect_patterns_g(g, gctx))
+    for gterm, g in group.graphs:
+        out.extend(collect_patterns_g(g, gterm))
     for _pos, g in group.exists:
-        out.extend(collect_patterns(g))
+        out.extend(collect_patterns_g(g, gctx))
     for g in group.minuses:
-        out.extend(collect_patterns(g))
+        out.extend(collect_patterns_g(g, gctx))
     for sub in group.subselects:
-        out.extend(collect_patterns(sub.where))
+        out.extend(collect_patterns_g(sub.where, gctx))
     return out
 
 
@@ -198,6 +211,44 @@ def _subject_compatible(tm: TriplesMap, s, options: CompileOptions) -> bool:
     return False  # literal subjects cannot exist
 
 
+# sentinel: no graph pruning (triples-mode fragment over one merged graph)
+_ANY_GRAPH = object()
+
+
+def _graph_info(
+    sm, pom: PredicateObjectMap | None, options: CompileOptions
+) -> tuple[bool, frozenset[str] | None]:
+    """(can emit into the default graph, constant named-graph IRIs or
+    None = at least one non-constant graph map). Per materializeQuads
+    (MorphBaseMaterializer.scala:159-200): POM triples land in
+    subjectMap graphs ∪ POM graphs; class triples in subjectMap graphs;
+    no graph maps ⇒ default graph. rr:defaultGraph constants are
+    dropped at parse, so any graph map here emits a *named* graph."""
+    gms = list(sm.graph_maps) + (list(pom.graph_maps) if pom is not None else [])
+    if not gms:
+        return True, frozenset()
+    named: set[str] = set()
+    for gm in gms:
+        if gm.kind != CONSTANT:
+            return False, None
+        named.add(terms.make_iri(gm.constant, options.encode_unsafe_chars_in_uri))
+    return False, frozenset(named)
+
+
+def _graph_ok(info: tuple[bool, frozenset[str] | None], gctx) -> bool:
+    """Can a branch with graph signature ``info`` emit a quad visible in
+    graph context ``gctx``? (None = default graph, ?var = any named
+    graph, <iri> = that graph.) False only on proof of impossibility."""
+    if gctx is _ANY_GRAPH:
+        return True
+    can_default, named = info
+    if gctx is None:
+        return can_default
+    if _is_var(gctx):
+        return named is None or bool(named)
+    return named is None or gctx in named
+
+
 def _pom_emits_collection(pom: PredicateObjectMap) -> bool:
     if any(om.is_collection for om in pom.object_maps):
         return True
@@ -267,18 +318,22 @@ def _prune_pom(
 
 
 def _bind_detail(
-    tm: TriplesMap, tp: TriplePattern, options: CompileOptions
+    tm: TriplesMap, tp: TriplePattern, options: CompileOptions, gctx=_ANY_GRAPH
 ) -> tuple[tuple[str, ...], list[tuple[int, PredicateObjectMap]]] | None:
     """(kept class IRIs, [(original POM index, pruned POM)]) for one
     (pattern, triples map) pair, or None when the map provably cannot
     produce a matching triple. The index survives pruning so bindings of
-    several patterns to the same map can merge into one compilation."""
+    several patterns to the same map can merge into one compilation.
+    ``gctx`` (quad mode) additionally excludes branches whose graph maps
+    provably cannot emit into the pattern's graph context."""
     if not _subject_compatible(tm, tp.s, options):
         return None
     preds = _pred_candidates(tp.p)
 
     keep_classes = tm.subject_map.class_uris
-    if preds is not None and _RDF_TYPE not in preds:
+    if not _graph_ok(_graph_info(tm.subject_map, None, options), gctx):
+        keep_classes = ()
+    elif preds is not None and _RDF_TYPE not in preds:
         keep_classes = ()
     elif (
         not isinstance(tp.p, Path)
@@ -294,6 +349,8 @@ def _bind_detail(
 
     kept: list[tuple[int, PredicateObjectMap]] = []
     for i, pom in enumerate(tm.predicate_object_maps):
+        if not _graph_ok(_graph_info(tm.subject_map, pom, options), gctx):
+            continue
         pruned = _prune_pom(pom, tp, options)
         if pruned is not None:
             kept.append((i, pruned))
@@ -493,7 +550,11 @@ class VirtualGraph:
         return cat
 
     def _compile_tm(
-        self, name: str, pruned: TriplesMap, catalog: SourceCatalog
+        self,
+        name: str,
+        pruned: TriplesMap,
+        catalog: SourceCatalog,
+        quads: bool = False,
     ) -> DataFrame | None:
         doc2 = MappingDocument(
             triples_maps={**self.doc.triples_maps, name: pruned},
@@ -501,13 +562,24 @@ class VirtualGraph:
         )
         comp = MappingCompiler(self.spark, doc2, catalog, self.options)
         self._compilers.append(comp)
-        return comp.triples_for(name)
+        return comp.quads_for(name) if quads else comp.triples_for(name)
 
     @staticmethod
-    def _residual(frame: DataFrame, tp: TriplePattern) -> DataFrame:
+    def _residual(
+        frame: DataFrame, tp: TriplePattern, gctx=_ANY_GRAPH
+    ) -> DataFrame:
         """Exact restriction to the pattern's constants (the binder only
         proves *possible*; these make the fragment tight). Path patterns
-        get none — their intermediate hops are unconstrained."""
+        get none — their intermediate hops are unconstrained. In quad
+        mode the pattern's graph context restricts the graph column the
+        same way the evaluator will (``_pattern_df``)."""
+        if gctx is not _ANY_GRAPH and "graph" in frame.columns:
+            if gctx is None:
+                frame = frame.where(F.col("graph").isNull())
+            elif _is_var(gctx):
+                frame = frame.where(F.col("graph").isNotNull())
+            else:
+                frame = frame.where(F.col("graph") == F.lit(gctx))
         if isinstance(tp.p, Path):
             return frame
         for pos, term in (("subj", tp.s), ("pred", tp.p), ("obj", tp.o)):
@@ -527,18 +599,15 @@ class VirtualGraph:
         the rewriting-mode twin of the reference's self-join
         elimination over a shared logical-source query."""
         q = parse_sparql(query) if isinstance(query, str) else query
-        if self._has_graphs(q.where):
-            raise NotImplementedError(
-                "virtual evaluation covers the default graph; for GRAPH "
-                "patterns materialize quads (MappingCompiler.quads()) and "
-                "use sparql_select directly"
-            )
+        quads = self._has_graphs(q.where)
         frames: list[DataFrame] = []
-        shared: dict[str, list[tuple[TriplePattern, tuple]]] = {}
-        for tp in collect_patterns(q.where):
+        shared: dict[str, list[tuple[TriplePattern, object, tuple]]] = {}
+        for gctx, tp in collect_patterns_g(q.where):
+            if not quads:
+                gctx = _ANY_GRAPH
             is_path = isinstance(tp.p, Path)
             for tm in self.doc.triples_maps.values():
-                detail = _bind_detail(tm, tp, self.options)
+                detail = _bind_detail(tm, tp, self.options, gctx)
                 if detail is None:
                     continue
                 cond = None
@@ -552,34 +621,38 @@ class VirtualGraph:
                         cond = ocond if cond is None else (cond & ocond)
                 if cond is not None:
                     frame = self._compile_tm(
-                        tm.name, pruned, self._filtered_catalog(ls.value, cond)
+                        tm.name,
+                        pruned,
+                        self._filtered_catalog(ls.value, cond),
+                        quads=quads,
                     )
                     if frame is not None:
-                        frames.append(self._residual(frame, tp))
+                        frames.append(self._residual(frame, tp, gctx))
                 else:
-                    shared.setdefault(tm.name, []).append((tp, detail))
+                    shared.setdefault(tm.name, []).append((tp, gctx, detail))
         for tm_name, entries in shared.items():
             tm = self.doc.triples_maps[tm_name]
             if len(entries) == 1:
-                tp, detail = entries[0]
+                tp, gctx, detail = entries[0]
                 frame = self._compile_tm(
-                    tm_name, _detail_to_tm(tm, detail), self.catalog
+                    tm_name, _detail_to_tm(tm, detail), self.catalog, quads=quads
                 )
                 if frame is not None:
-                    frames.append(self._residual(frame, tp))
+                    frames.append(self._residual(frame, tp, gctx))
                 continue
-            merged = _merge_details(tm, [d for _tp, d in entries])
-            base = self._compile_tm(tm_name, merged, self.catalog)
+            merged = _merge_details(tm, [d for _tp, _g, d in entries])
+            base = self._compile_tm(tm_name, merged, self.catalog, quads=quads)
             if base is None:
                 continue
             base = base.persist()
             self._persisted.append(base)
-            for tp, _d in entries:
-                frames.append(self._residual(base, tp))
+            for tp, gctx, _d in entries:
+                frames.append(self._residual(base, tp, gctx))
         if not frames:
-            return self.spark.createDataFrame(
-                [], "subj string, pred string, obj string"
-            )
+            schema = "subj string, pred string, obj string"
+            if quads:
+                schema += ", graph string"
+            return self.spark.createDataFrame([], schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

@@ -488,3 +488,156 @@ def test_same_tm_patterns_share_one_compilation(setup, spark):
         assert got == _rows(sparql_select(triples, q))
     finally:
         vg.release()
+
+
+def test_virtual_over_document_source(spark):
+    """Rewriting mode on a document-shaped (MongoDB-style) source: the
+    reference's example_mongo mapping with JSONPath references and an
+    rml:iterator — binding prunes by predicate, no pushdown is claimed
+    (references aren't invertible), answers match materialized."""
+    import json as _json
+    import pathlib
+
+    mapping = pathlib.Path(
+        "/root/reference/morph-xr2rml-dist/example_mongo/mapping.ttl"
+    ).read_text()
+    from tests.test_compiler_mongo_suite import MOVIE_DOCS, STUDENT_DOCS
+
+    students = spark.createDataFrame(
+        [(_json.dumps(d),) for d in STUDENT_DOCS], "doc string"
+    )
+    movies = spark.createDataFrame(
+        [(_json.dumps(d),) for d in MOVIE_DOCS], "doc string"
+    )
+    catalog = (
+        SourceCatalog(spark)
+        .register("students", students, doc_column="doc")
+        .register("movies", movies, doc_column="doc")
+    )
+    doc = parse_mapping(mapping, default_formulation="JSONPath")
+    triples = MappingCompiler(spark, doc, catalog).triples()
+    q = (
+        "PREFIX ex: <http://example.com/>\n"
+        "SELECT ?s ?a WHERE { ?s ex:activity ?a . ?s a ex:Student }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        assert got == _rows(sparql_select(triples, q))
+        assert len(got) == 4
+    finally:
+        vg.release()
+
+
+# ---------------------------------------------------------------------------
+# GRAPH patterns (quad-mode fragments)
+# ---------------------------------------------------------------------------
+
+GRAPHS_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMEmpG>
+    xrr:logicalSource [ rr:tableName "emp"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/emp/{eid}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:name;
+        rr:objectMap [ rr:column "ename" ];
+        rr:graph ex:gNames;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:salary;
+        rr:objectMap [ rr:column "salary" ];
+        rr:graph ex:gKeys;
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:deptno;
+        rr:objectMap [ rr:column "dno" ];
+    ];
+    .
+"""
+
+
+@pytest.fixture(scope="module")
+def gsetup(spark):
+    emp = spark.createDataFrame(
+        [
+            (10, "alice", 120, 1),
+            (11, "bob", 95, 1),
+            (12, "carol", 80, 2),
+        ],
+        "eid int, ename string, salary int, dno int",
+    )
+    doc = parse_mapping(GRAPHS_TTL)
+    catalog = SourceCatalog(spark).register("emp", emp, unique_key=["eid"])
+    quads = MappingCompiler(spark, doc, catalog).quads()
+    return doc, catalog, quads
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # constant graph
+        "SELECT ?s ?n WHERE { GRAPH ex:gNames { ?s ex:name ?n } }",
+        # graph variable binds
+        "SELECT ?g ?s ?v WHERE { GRAPH ?g { ?s ?p ?v } }",
+        # default-graph pattern joined with a named-graph pattern
+        "SELECT ?s ?d ?v WHERE { ?s ex:deptno ?d . "
+        "GRAPH ex:gKeys { ?s ex:salary ?v } }",
+        # GRAPH inside OPTIONAL
+        "SELECT ?s ?d ?n WHERE { ?s ex:deptno ?d . "
+        "OPTIONAL { GRAPH ex:gNames { ?s ex:name ?n } } }",
+    ],
+)
+def test_virtual_graph_patterns_match_materialized(gsetup, spark, q):
+    doc, catalog, quads = gsetup
+    q = PREFIX + q
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.select(q)) == _rows(sparql_select(quads, q))
+    finally:
+        vg.release()
+
+
+def test_virtual_graph_prunes_incompatible_branches(gsetup, spark):
+    """GRAPH <g> keeps only POMs whose graph maps can emit into <g>;
+    default-graph patterns exclude named-graph-only POMs. Both checked
+    on the fragment itself, not just the final answer."""
+    doc, catalog, _quads = gsetup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX + "SELECT ?s ?n WHERE { GRAPH ex:gNames { ?s ?p ?n } }"
+        )
+        preds = {r.pred for r in frag.select("pred").distinct().collect()}
+        assert preds == {"<http://example.org/ontology#name>"}
+    finally:
+        vg.release()
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX
+            + "SELECT ?s ?v WHERE { ?s ?p ?v . GRAPH ?g { ?s ex:salary ?v } }"
+        )
+        by_graph = dict(
+            frag.groupBy(F.col("graph").isNull().alias("dflt")).count().collect()
+        )
+        # default-graph half only carries ex:deptno; named half only salary
+        assert set(by_graph) == {True, False}
+    finally:
+        vg.release()
+
+
+def test_virtual_graph_unmatchable_constant_compiles_nothing(gsetup, spark):
+    doc, catalog, _quads = gsetup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX + "SELECT ?s WHERE { GRAPH ex:gOther { ?s ex:name ?n } }"
+        )
+        assert not vg._compilers  # pruned before any source scan
+        assert frag.count() == 0
+        assert frag.columns == ["subj", "pred", "obj", "graph"]
+    finally:
+        vg.release()
