@@ -2124,6 +2124,33 @@ FROM nation WHERE n_nationkey = 5
 """
 
 
+SPARQL_VIRTUAL_GRAPH = """
+PREFIX ex: <http://example.org/ontology#>
+SELECT ?n ?v WHERE { GRAPH ex:gNames { ?n ex:name ?v } }
+"""
+
+
+def q_sparql_virtual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewriting mode over named graphs: GRAPH <g> binds only the POMs
+    whose graph maps can emit into <g> (the ex:regionkey/gKeys branch is
+    never compiled), and the fragment is a quad frame the ordinary
+    evaluator consumes."""
+    from .sparql import VirtualGraph
+
+    catalog = SourceCatalog(spark).register(
+        "nation", _load(spark, sf_dir, "nation"), unique_key=["n_nationkey"]
+    )
+    vg = VirtualGraph(spark, parse_mapping(NATION_GRAPHS_TTL), catalog)
+    return vg.select(SPARQL_VIRTUAL_GRAPH)
+
+
+SQL_SPARQL_VIRTUAL_GRAPH = f"""
+SELECT DISTINCT '<{EX}nation/' || n_nationkey || '>' AS n,
+       '"' || n_name || '"' AS v
+FROM nation
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2188,6 +2215,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_construct": (q_sparql_construct, SQL_SPARQL_CONSTRUCT),
     "sparql_virtual_join": (q_sparql_virtual_join, SQL_SPARQL_VIRTUAL_JOIN),
     "sparql_virtual_const": (q_sparql_virtual_const, SQL_SPARQL_VIRTUAL_CONST),
+    "sparql_virtual_graph": (q_sparql_virtual_graph, SQL_SPARQL_VIRTUAL_GRAPH),
 }
 
 
