@@ -501,3 +501,86 @@ def _order_property(spark, graph, pred, desc):
 
 def test_differential_order_by(spark):
     _order_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# GRAPH shapes (RDF dataset semantics over a quad table)
+# ---------------------------------------------------------------------------
+
+_GRAPHS = [f"<{EX}g0>", f"<{EX}g1>"]
+
+quad_st = st.lists(
+    st.tuples(
+        st.sampled_from(_SUBJ),
+        st.sampled_from(_PRED),
+        st.sampled_from(_OBJ),
+        st.sampled_from([None] + _GRAPHS),
+    ),
+    min_size=1,
+    max_size=14,
+    unique=True,
+)
+
+
+def naive_graph(quads, p1, gterm, p2):
+    """{ p1 . GRAPH gterm { p2 } }: p1 over the default graph, p2 over
+    one named graph at a time (binding gterm when it is a variable)."""
+    default = [q[:3] for q in quads if q[3] is None]
+    sols = _eval_bgp(default, [p1], [{}])
+    named_graphs = sorted({q[3] for q in quads if q[3] is not None})
+    out = []
+    for b in sols:
+        for g in named_graphs:
+            if gterm.startswith("?"):
+                v = gterm[1:]
+                if v in b and b[v] != g:
+                    continue
+                b2 = {**b, v: g}
+            elif gterm != g:
+                continue
+            else:
+                b2 = dict(b)
+            named = [q[:3] for q in quads if q[3] == g]
+            out.extend(_eval_bgp(named, [p2], [b2]))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    quads=quad_st,
+    p1=pattern_st(),
+    p2=pattern_st(),
+    gterm=st.sampled_from(["?g"] + _GRAPHS),
+)
+def _graph_property(spark, quads, p1, p2, gterm):
+    all_vars = sorted(
+        {t[1:] for pat in (p1, p2) for t in pat if t.startswith("?")}
+        | ({gterm[1:]} if gterm.startswith("?") else set())
+    )
+    if not all_vars:
+        return
+    q = (
+        "SELECT DISTINCT "
+        + " ".join(f"?{v}" for v in all_vars)
+        + " WHERE { "
+        + " ".join(p1)
+        + f" . GRAPH {gterm} {{ "
+        + " ".join(p2)
+        + " } }"
+    )
+    df = spark.createDataFrame(
+        list(quads), "subj string, pred string, obj string, graph string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    want = {
+        tuple(sorted(b.items()))
+        for b in naive_graph(quads, p1, gterm, p2)
+    }
+    assert got == want, f"query: {q}\nquads: {quads}"
+
+
+def test_differential_graph(spark):
+    _graph_property(spark)
