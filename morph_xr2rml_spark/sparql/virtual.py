@@ -597,7 +597,14 @@ class VirtualGraph:
         union of their prunings (persisted, so the source is scanned
         once and each pattern's residual reads the cached fragment) —
         the rewriting-mode twin of the reference's self-join
-        elimination over a shared logical-source query."""
+        elimination over a shared logical-source query.
+
+        View selection mirrors materialize-then-query usage: a query
+        with no GRAPH pattern runs over the merged-triples view
+        (``MappingCompiler.triples()`` semantics — all graphs union);
+        a query mentioning GRAPH runs over the dataset view
+        (``quads()`` semantics — default graph is NULL, patterns
+        outside GRAPH match only the default graph)."""
         q = parse_sparql(query) if isinstance(query, str) else query
         quads = self._has_graphs(q.where)
         frames: list[DataFrame] = []
