@@ -641,3 +641,49 @@ def test_virtual_graph_unmatchable_constant_compiles_nothing(gsetup, spark):
         assert frag.columns == ["subj", "pred", "obj", "graph"]
     finally:
         vg.release()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    emp_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.sampled_from(_NAMES),
+            st.integers(min_value=0, max_value=150),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    qidx=st.integers(min_value=0, max_value=3),
+)
+def _virtual_graph_differential(spark, emp_rows, qidx):
+    emp = spark.createDataFrame(
+        emp_rows or [(None, None, None, None)],
+        "eid int, ename string, salary int, dno int",
+    )
+    if not emp_rows:
+        emp = emp.where("eid IS NOT NULL")
+    doc = parse_mapping(GRAPHS_TTL)
+    catalog = SourceCatalog(spark).register("emp", emp)
+    queries = [
+        PREFIX + "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ?p ?o } }",
+        PREFIX + "SELECT ?s ?n WHERE { GRAPH ex:gNames { ?s ?p ?n } }",
+        PREFIX + "SELECT ?s ?d ?v WHERE { ?s ex:deptno ?d . "
+        "GRAPH ex:gKeys { ?s ex:salary ?v } }",
+        PREFIX + "SELECT ?s ?v WHERE { GRAPH ?g { ?s ex:salary ?v } "
+        "FILTER(?v > 90) }",
+    ]
+    q = queries[qidx]
+    quads = MappingCompiler(spark, doc, catalog).quads()
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        want = _rows(sparql_select(quads, q))
+        assert got == want, f"query: {q}\nemp: {emp_rows}"
+    finally:
+        vg.release()
+
+
+def test_differential_virtual_graph(spark):
+    _virtual_graph_differential(spark)
