@@ -2124,6 +2124,31 @@ FROM nation WHERE n_nationkey = 5
 """
 
 
+SPARQL_FROM_NAMED = f"""
+PREFIX ex: <{ONT}>
+SELECT ?n ?v ?g FROM <{ONT}gNames> FROM NAMED <{ONT}gKeys>
+WHERE {{ ?n ex:name ?v . GRAPH ?g {{ ?n ex:regionkey ?k }} }}
+"""
+
+
+def q_sparql_from_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset clauses (SPARQL 1.1 §13.2): FROM re-homes gNames as the
+    queried default graph, FROM NAMED restricts GRAPH ?g to gKeys."""
+    catalog = SourceCatalog(spark).register(
+        "nation", _load(spark, sf_dir, "nation"), unique_key=["n_nationkey"]
+    )
+    quads = MappingCompiler(spark, parse_mapping(NATION_GRAPHS_TTL), catalog).quads()
+    return sparql_select(quads, SPARQL_FROM_NAMED)
+
+
+SQL_SPARQL_FROM_NAMED = f"""
+SELECT '<{EX}nation/' || n_nationkey || '>' AS n,
+       '"' || n_name || '"' AS v,
+       '<{ONT}gKeys>' AS g
+FROM nation
+"""
+
+
 SPARQL_VIRTUAL_GRAPH = """
 PREFIX ex: <http://example.org/ontology#>
 SELECT ?n ?v WHERE { GRAPH ex:gNames { ?n ex:name ?v } }
@@ -2206,6 +2231,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_ask": (q_sparql_ask, SQL_SPARQL_ASK),
     "sparql_describe": (q_sparql_describe, SQL_SPARQL_DESCRIBE),
     "sparql_graph_quads": (q_sparql_graph_quads, SQL_SPARQL_GRAPH_QUADS),
+    "sparql_from_named": (q_sparql_from_named, SQL_SPARQL_FROM_NAMED),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_order_numeric": (q_sparql_order_numeric, SQL_SPARQL_ORDER_NUMERIC),
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),

@@ -136,6 +136,10 @@ class SelectQuery:
     aggregates: list[Aggregate] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: "FilterNode | None" = None
+    # dataset clauses: FROM <g> graphs merge into the queried default
+    # graph; FROM NAMED <g> graphs are the queried named graphs
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
 
 # filter expression tree
@@ -162,6 +166,13 @@ _SELECT_RE = re.compile(
 # order and raises on unconsumed text (a silently-dropped OFFSET would
 # return extra rows).
 _CLAUSE_RE = re.compile(r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+
+# DatasetClause: FROM [NAMED] IRIref — sits between the projection and
+# the WHERE block, so it lands inside _SELECT_RE's projection capture
+# and is cut out of it before variable extraction
+_DATASET_RE = re.compile(
+    r"\bFROM\s+(NAMED\s+)?(<[^<>\s]*>|\w+:[\w.%-]*)", re.IGNORECASE
+)
 
 _AGG_RE = re.compile(
     r"^\(\s*(?P<func>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)\s*\(\s*"
@@ -252,6 +263,17 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
         raise ValueError("only SELECT queries are supported")
     distinct = bool(msel.group(1))
     proj = msel.group(2).strip()
+
+    from_graphs: list[str] = []
+    from_named: list[str] = []
+
+    def _take_dataset(m: re.Match) -> str:
+        term = _expand(m.group(2), prefixes)
+        (from_named if m.group(1) else from_graphs).append(term)
+        return " "
+
+    proj = _DATASET_RE.sub(_take_dataset, proj).strip()
+
     variables: list[str] = []
     aggregates: list[Aggregate] = []
     if proj != "*":
@@ -292,7 +314,7 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
     group_by, order_by, limit, offset = _parse_tail(tail, prefixes)
     return SelectQuery(
         variables, group, distinct, order_by, limit, offset, aggregates,
-        group_by, having,
+        group_by, having, from_graphs, from_named,
     )
 
 
@@ -1777,9 +1799,44 @@ def _select_df(
     return _select_df_info(triples, q, graph)[0]
 
 
+def _apply_dataset(triples: DataFrame, q: SelectQuery) -> DataFrame:
+    """FROM / FROM NAMED dataset construction (SPARQL 1.1 §13.2): when
+    any dataset clause is present, the queried dataset is *exactly* the
+    described one — the default graph is the RDF merge (set union) of
+    the FROM graphs (empty when only FROM NAMED is given), and the
+    named graphs are exactly the FROM NAMED ones."""
+    if not (q.from_graphs or q.from_named):
+        return triples
+    if "graph" not in triples.columns:
+        raise ValueError(
+            "FROM/FROM NAMED require a quad table input "
+            "(use MappingCompiler.quads())"
+        )
+    cols = triples.columns
+    default = named = None
+    if q.from_graphs:
+        default = (
+            triples.where(F.col("graph").isin(q.from_graphs))
+            .drop("graph")
+            # the merge of several graphs is a set union, so a triple
+            # present in two FROM graphs appears once
+            .dropDuplicates()
+            .withColumn("graph", F.lit(None).cast("string"))
+            .select(*cols)
+        )
+    if q.from_named:
+        named = triples.where(F.col("graph").isin(q.from_named))
+    if default is None:
+        return named
+    if named is None:
+        return default
+    return default.unionByName(named)
+
+
 def _select_df_info(
     triples: DataFrame, q: SelectQuery, graph: Term | None = None
 ) -> tuple[DataFrame, set[str]]:
+    triples = _apply_dataset(triples, q)
     df, mn = _group_df_info(triples, q.where, graph)
     if q.aggregates or q.having is not None:
         aggs = [_agg_col(a) for a in q.aggregates]

@@ -238,12 +238,16 @@ def _graph_info(
 def _graph_ok(info: tuple[bool, frozenset[str] | None], gctx) -> bool:
     """Can a branch with graph signature ``info`` emit a quad visible in
     graph context ``gctx``? (None = default graph, ?var = any named
-    graph, <iri> = that graph.) False only on proof of impossibility."""
+    graph, <iri> = that graph, frozenset = one of those named graphs —
+    the FROM/FROM NAMED dataset-clause form.) False only on proof of
+    impossibility."""
     if gctx is _ANY_GRAPH:
         return True
     can_default, named = info
     if gctx is None:
         return can_default
+    if isinstance(gctx, frozenset):
+        return named is None or bool(named & gctx)
     if _is_var(gctx):
         return named is None or bool(named)
     return named is None or gctx in named
@@ -576,6 +580,8 @@ class VirtualGraph:
         if gctx is not _ANY_GRAPH and "graph" in frame.columns:
             if gctx is None:
                 frame = frame.where(F.col("graph").isNull())
+            elif isinstance(gctx, frozenset):
+                frame = frame.where(F.col("graph").isin(list(gctx)))
             elif _is_var(gctx):
                 frame = frame.where(F.col("graph").isNotNull())
             else:
@@ -606,12 +612,25 @@ class VirtualGraph:
         (``quads()`` semantics — default graph is NULL, patterns
         outside GRAPH match only the default graph)."""
         q = parse_sparql(query) if isinstance(query, str) else query
-        quads = self._has_graphs(q.where)
+        dataset = bool(q.from_graphs or q.from_named)
+        quads = dataset or self._has_graphs(q.where)
         frames: list[DataFrame] = []
         shared: dict[str, list[tuple[TriplePattern, object, tuple]]] = {}
         for gctx, tp in collect_patterns_g(q.where):
             if not quads:
                 gctx = _ANY_GRAPH
+            elif dataset:
+                # under dataset clauses the pattern's graph context is a
+                # *set* of named graphs: default-position patterns see
+                # the FROM graphs, GRAPH patterns the FROM NAMED ones
+                if gctx is None:
+                    gctx = frozenset(q.from_graphs)
+                elif _is_var(gctx):
+                    gctx = frozenset(q.from_named)
+                else:
+                    gctx = frozenset((gctx,)) & frozenset(q.from_named)
+                if not gctx:
+                    continue  # no graph of the dataset can match
             is_path = isinstance(tp.p, Path)
             for tm in self.doc.triples_maps.values():
                 detail = _bind_detail(tm, tp, self.options, gctx)

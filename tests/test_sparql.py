@@ -353,6 +353,68 @@ def test_graph_patterns(spark):
     assert rows(dflt) == {('"c"',)}
 
 
+def test_dataset_clauses(spark):
+    """FROM / FROM NAMED (SPARQL 1.1 §13.2): FROM graphs merge (set
+    union) into the queried default graph, FROM NAMED graphs are the
+    only named graphs; either clause alone empties the other part."""
+    quads = spark.createDataFrame(
+        [
+            ("<http://x/s1>", "<http://x/p>", '"a"', "<http://x/g1>"),
+            ("<http://x/s2>", "<http://x/p>", '"b"', "<http://x/g2>"),
+            # duplicate of g1's triple in g2: merge keeps ONE copy
+            ("<http://x/s1>", "<http://x/p>", '"a"', "<http://x/g2>"),
+            ("<http://x/s3>", "<http://x/p>", '"c"', None),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    # FROM: default graph = union of the listed graphs; the store's own
+    # default graph is NOT part of the dataset
+    out = sparql_select(
+        quads,
+        "SELECT ?s ?o FROM <http://x/g1> FROM <http://x/g2> "
+        "WHERE { ?s <http://x/p> ?o }",
+    )
+    assert rows(out) == {
+        ("<http://x/s1>", '"a"'),
+        ("<http://x/s2>", '"b"'),
+    }
+    # the merge is a set union: non-DISTINCT COUNT sees the shared
+    # triple once
+    cnt = sparql_select(
+        quads,
+        "SELECT (COUNT(?s) AS ?n) FROM <http://x/g1> FROM <http://x/g2> "
+        "WHERE { ?s ?p ?o }",
+    ).collect()
+    assert cnt[0]["n"] == 2
+    # FROM NAMED restricts GRAPH ?g; with no FROM the default graph is
+    # empty, so a default-position pattern matches nothing
+    out = sparql_select(
+        quads,
+        "SELECT ?g ?o FROM NAMED <http://x/g2> "
+        "WHERE { GRAPH ?g { ?s ?p ?o } }",
+    )
+    assert rows(out) == {("<http://x/g2>", '"b"'), ("<http://x/g2>", '"a"')}
+    empty = sparql_select(
+        quads,
+        "SELECT ?o FROM NAMED <http://x/g2> WHERE { ?s <http://x/p> ?o }",
+    )
+    assert empty.count() == 0
+    # both clauses; prefixed graph names expand; GRAPH <g> outside
+    # FROM NAMED matches nothing
+    out = sparql_select(
+        quads,
+        "PREFIX x: <http://x/> SELECT ?o ?v FROM x:g1 FROM NAMED x:g2 "
+        "WHERE { ?s <http://x/p> ?o . GRAPH <http://x/g2> { ?t <http://x/p> ?v } }",
+    )
+    assert rows(out) == {('"a"', '"b"'), ('"a"', '"a"')}
+    none = sparql_select(
+        quads,
+        "SELECT ?v FROM NAMED <http://x/g2> "
+        "WHERE { GRAPH <http://x/g1> { ?t ?p ?v } }",
+    )
+    assert none.count() == 0
+
+
 def test_rdfxml_and_n3(spark, triples):
     from xml.dom import minidom
 

@@ -687,3 +687,53 @@ def _virtual_graph_differential(spark, emp_rows, qidx):
 
 def test_differential_virtual_graph(spark):
     _virtual_graph_differential(spark)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # FROM merges named graphs into the queried default graph
+        "SELECT ?s ?v FROM ex:gKeys WHERE { ?s ex:salary ?v }",
+        "SELECT ?s ?x FROM ex:gNames FROM ex:gKeys WHERE { ?s ?p ?x }",
+        # FROM NAMED restricts GRAPH ?g; the store default graph is out
+        "SELECT ?g ?s ?x FROM NAMED ex:gNames WHERE { GRAPH ?g { ?s ?p ?x } }",
+        # both clauses at once
+        "SELECT ?n ?v FROM ex:gNames FROM NAMED ex:gKeys "
+        "WHERE { ?s ex:name ?n . GRAPH ?g { ?s ex:salary ?v } }",
+    ],
+)
+def test_virtual_dataset_clauses_match_materialized(gsetup, spark, q):
+    doc, catalog, quads = gsetup
+    q = PREFIX + q
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.select(q)) == _rows(sparql_select(quads, q))
+    finally:
+        vg.release()
+
+
+def test_virtual_dataset_clause_prunes(gsetup, spark):
+    """FROM <gKeys> makes the default graph = gKeys only: the gNames
+    and store-default branches are pruned at bind time, and a GRAPH
+    constant outside FROM NAMED compiles nothing at all."""
+    doc, catalog, _quads = gsetup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX + "SELECT ?s ?v FROM ex:gKeys WHERE { ?s ?p ?v }"
+        )
+        preds = {r.pred for r in frag.select("pred").distinct().collect()}
+        assert preds == {"<http://example.org/ontology#salary>"}
+    finally:
+        vg.release()
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX
+            + "SELECT ?v FROM NAMED ex:gNames "
+            "WHERE { GRAPH ex:gKeys { ?s ?p ?v } }"
+        )
+        assert not vg._compilers
+        assert frag.count() == 0
+    finally:
+        vg.release()
