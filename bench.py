@@ -277,9 +277,21 @@ def scale_level_run(n: int) -> dict:
     # distort the small-scale core-count comparison.
     from morph_xr2rml_spark.plans.caching import release_caches
 
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
+    # Equal measurement budget per level: single repeats vary up to 2x
+    # under hypervisor steal (observed 18.1-27.6s back-to-back at 8
+    # cores), so each level repeats until the SAME wall budget is spent
+    # (>= 4 and <= 16 repeats). best-of-k estimates the steady-state
+    # floor; the identical budget at N and 4N keeps the estimator
+    # unbiased between the two sides of the efficiency ratio.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "240"))
+    min_repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
     best, triples = None, 0
-    for _ in range(repeats):
+    done = 0
+    t_level = time.time()
+    while done < min_repeats or (
+        time.time() - t_level < budget and done < 16
+    ):
+        done += 1
         plan, cached = build_materialization(spark, docs)
         t0 = time.time()
         # stage barriers (see materialization_job): materialize each
