@@ -1893,7 +1893,9 @@ def _select_df_info(
 
 
 _CONSTRUCT_RE = re.compile(
-    r"CONSTRUCT\s*\{(?P<template>.*?)\}\s*WHERE", re.IGNORECASE | re.DOTALL
+    r"CONSTRUCT\s*\{(?P<template>.*?)\}\s*"
+    r"(?P<dataset>(?:FROM\s+(?:NAMED\s+)?\S+\s*)*)WHERE",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -1907,6 +1909,20 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     mc = _CONSTRUCT_RE.search(body)
     if mc:
         template = _parse_triples(mc.group("template"), prefixes)
+        if mc.group("dataset"):
+            from_graphs: list[str] = []
+            from_named: list[str] = []
+            for md in _DATASET_RE.finditer(mc.group("dataset")):
+                (from_named if md.group(1) else from_graphs).append(
+                    _expand(md.group(2), prefixes)
+                )
+            triples = _apply_dataset(
+                triples,
+                SelectQuery(
+                    variables=[], where=Group(),
+                    from_graphs=from_graphs, from_named=from_named,
+                ),
+            )
         start = body.index("{", mc.end() - 1)
         end = _match_brace(body, start)
         where = _parse_group(body[start + 1 : end], prefixes)

@@ -695,7 +695,9 @@ class VirtualGraph:
     def construct(self, query: str) -> DataFrame:
         from .bgp import (
             _CONSTRUCT_RE,
+            _DATASET_RE,
             _PREFIX_RE,
+            _expand,
             _match_brace,
             _parse_group,
             _parse_triples,
@@ -703,8 +705,14 @@ class VirtualGraph:
 
         prefixes = dict(_PREFIX_RE.findall(query))
         body = _PREFIX_RE.sub("", query)
+        from_graphs: list[str] = []
+        from_named: list[str] = []
         mc = _CONSTRUCT_RE.search(body)
         if mc:
+            for md in _DATASET_RE.finditer(mc.group("dataset") or ""):
+                (from_named if md.group(1) else from_graphs).append(
+                    _expand(md.group(2), prefixes)
+                )
             start = body.index("{", mc.end() - 1)
             where = _parse_group(
                 body[start + 1 : _match_brace(body, start)], prefixes
@@ -719,7 +727,12 @@ class VirtualGraph:
                     body[start + 1 : _match_brace(body, start)], prefixes
                 )
             )
-        frag = self.fragment(SelectQuery(variables=[], where=where))
+        frag = self.fragment(
+            SelectQuery(
+                variables=[], where=where,
+                from_graphs=from_graphs, from_named=from_named,
+            )
+        )
         return sparql_construct(frag, query)
 
     @staticmethod

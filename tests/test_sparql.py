@@ -415,6 +415,25 @@ def test_dataset_clauses(spark):
     assert none.count() == 0
 
 
+def test_construct_dataset_clause(spark):
+    from morph_xr2rml_spark.sparql import sparql_construct
+
+    quads = spark.createDataFrame(
+        [
+            ("<http://x/s1>", "<http://x/p>", '"a"', "<http://x/g1>"),
+            ("<http://x/s2>", "<http://x/p>", '"b"', "<http://x/g2>"),
+            ("<http://x/s3>", "<http://x/p>", '"c"', None),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    out = sparql_construct(
+        quads,
+        "CONSTRUCT { ?s <http://x/q> ?o } FROM <http://x/g1> "
+        "WHERE { ?s <http://x/p> ?o }",
+    )
+    assert rows(out) == {("<http://x/s1>", "<http://x/q>", '"a"')}
+
+
 def test_rdfxml_and_n3(spark, triples):
     from xml.dom import minidom
 

@@ -737,3 +737,19 @@ def test_virtual_dataset_clause_prunes(gsetup, spark):
         assert frag.count() == 0
     finally:
         vg.release()
+
+
+def test_virtual_construct_dataset_clause(gsetup, spark):
+    from morph_xr2rml_spark.sparql import sparql_construct
+
+    doc, catalog, quads = gsetup
+    q = (
+        PREFIX + "CONSTRUCT { ?s ex:pay ?v } FROM ex:gKeys "
+        "WHERE { ?s ex:salary ?v }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.construct(q)) == _rows(sparql_construct(quads, q))
+        assert len(_rows(vg.construct(q))) == 3
+    finally:
+        vg.release()
