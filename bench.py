@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     # rewriting mode: answered against the mapped sources directly —
     # no triple-stage read, no full materialization
     "sparql_virtual_join",
+    "sparql_virtual_graph",
+    # dataset clauses over materialized quads
+    "sparql_from_named",
 ]
 
 # 72x replication (~360k docs, 11.2M output triples) sizes the scaling

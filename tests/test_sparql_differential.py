@@ -584,3 +584,62 @@ def _graph_property(spark, quads, p1, p2, gterm):
 
 def test_differential_graph(spark):
     _graph_property(spark)
+
+
+def naive_dataset(quads, from_graphs, from_named):
+    """SPARQL 1.1 §13.2 over the quad store: default graph = set union
+    of the FROM graphs, named graphs = exactly the FROM NAMED ones."""
+    default = {q[:3] for q in quads if q[3] in from_graphs}
+    out = [(s, p, o, None) for s, p, o in sorted(default)]
+    out += [q for q in quads if q[3] is not None and q[3] in from_named]
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    quads=quad_st,
+    p1=pattern_st(),
+    p2=pattern_st(),
+    gterm=st.sampled_from(["?g"] + _GRAPHS),
+    # at least one clause is always present (the no-clause case is the
+    # plain GRAPH differential above); named-only is covered by the
+    # example-based test_dataset_clauses
+    from_graphs=st.sets(st.sampled_from(_GRAPHS), min_size=1, max_size=2),
+    from_named=st.sets(st.sampled_from(_GRAPHS), max_size=2),
+)
+def _dataset_property(spark, quads, p1, p2, gterm, from_graphs, from_named):
+    all_vars = sorted(
+        {t[1:] for pat in (p1, p2) for t in pat if t.startswith("?")}
+        | ({gterm[1:]} if gterm.startswith("?") else set())
+    )
+    if not all_vars:
+        return
+    clauses = " ".join(f"FROM {g}" for g in sorted(from_graphs))
+    clauses += " " + " ".join(f"FROM NAMED {g}" for g in sorted(from_named))
+    q = (
+        "SELECT DISTINCT "
+        + " ".join(f"?{v}" for v in all_vars)
+        + f" {clauses} WHERE {{ "
+        + " ".join(p1)
+        + f" . GRAPH {gterm} {{ "
+        + " ".join(p2)
+        + " } }"
+    )
+    df = spark.createDataFrame(
+        list(quads), "subj string, pred string, obj string, graph string"
+    )
+    got = {
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in sparql_select(df, q).collect()
+    }
+    want = {
+        tuple(sorted(b.items()))
+        for b in naive_graph(
+            naive_dataset(quads, from_graphs, from_named), p1, gterm, p2
+        )
+    }
+    assert got == want, f"query: {q}\nquads: {quads}"
+
+
+def test_differential_dataset_clauses(spark):
+    _dataset_property(spark)
