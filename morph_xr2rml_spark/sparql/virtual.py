@@ -750,10 +750,10 @@ class VirtualGraph:
 
     def ask(self, query: str) -> bool:
         m = re.search(r"\bASK\b", query, re.IGNORECASE)
-        if m:  # expandAsk analogue (SparqlQueryRewriter)
-            rest = query[m.end():].lstrip()
-            kw = "" if rest[:5].upper() == "WHERE" else "WHERE "
-            query = query[: m.start()] + "SELECT * " + kw + rest
+        if m:  # expandAsk analogue (SparqlQueryRewriter); the SELECT
+            # parser treats WHERE as optional and accepts dataset
+            # clauses, so the keyword swap is the whole rewrite
+            query = query[: m.start()] + "SELECT * " + query[m.end():].lstrip()
         q = parse_sparql(query)
         q.limit = 1
         return bool(sparql_select(self.fragment(q), q).take(1))

@@ -753,3 +753,15 @@ def test_virtual_construct_dataset_clause(gsetup, spark):
         assert len(_rows(vg.construct(q))) == 3
     finally:
         vg.release()
+
+
+def test_virtual_ask_with_dataset_clause(gsetup, spark):
+    doc, catalog, _quads = gsetup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert vg.ask(PREFIX + "ASK FROM ex:gKeys { ?s ex:salary ?v }")
+        assert not vg.ask(PREFIX + "ASK FROM ex:gKeys { ?s ex:name ?v }")
+        assert vg.ask(PREFIX + "ASK WHERE { ?s ex:deptno ?d }")
+        assert vg.ask(PREFIX + "ASK { ?s ex:deptno ?d }")
+    finally:
+        vg.release()
