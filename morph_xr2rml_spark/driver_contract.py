@@ -1674,6 +1674,64 @@ LIMIT 20
 """
 
 
+# E-notation numeric literals (round-3 verdict finding #1): Spark's
+# double→string cast (and Java Double.toString) emit exponent notation
+# for |x| ≥ 1e7, so FILTER / ORDER BY over such literals must parse
+# "12.5E6"^^xsd:double as 12 500 000, not 12.5 (the reference gets
+# value comparison from ARQ, MorphMongoQueryProcessor.process:45-150).
+# The synthesized scores span 0.5E6..19.5E6: the broken prefix parser
+# reads every value < 20, so FILTER(?n > 8000000) returns 0 rows and
+# the entry goes red; the LIMIT'd DESC ordering additionally pins the
+# boundary rows by value.
+SPARQL_NUMERIC_EXPONENT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?page ?n WHERE {
+    ?page kg:score ?n
+    FILTER (?n > 8000000)
+} ORDER BY DESC(?n) ?page LIMIT 25
+"""
+
+XSD_DBL = "http://www.w3.org/2001/XMLSchema#double"
+
+
+def _exp_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(
+            F.lit(f"<{KG}page/"), F.col("doc_id").cast("string"), F.lit(">")
+        ).alias("subj"),
+        F.lit(f"<{KG}ontology#score>").alias("pred"),
+        F.concat(
+            F.lit('"'),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(f'.5E6"^^<{XSD_DBL}>'),
+        ).alias("obj"),
+    )
+
+
+def q_sparql_numeric_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_exp_trip(spark, sf_dir), SPARQL_NUMERIC_EXPONENT)
+
+
+SQL_SPARQL_NUMERIC_EXPONENT = f"""
+WITH trip AS (
+    SELECT DISTINCT
+        '<{KG}page/' || doc_id || '>' AS subj,
+        '"' || (doc_id % 20) || '.5E6"^^<{XSD_DBL}>' AS obj
+    FROM documents
+)
+SELECT subj AS page, obj AS n
+FROM trip
+WHERE CAST(regexp_extract(obj,
+        '^"?([-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][-+]?[0-9]+)?)', 1)
+      AS DOUBLE) > 8000000
+ORDER BY CAST(regexp_extract(obj,
+        '^"?([-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][-+]?[0-9]+)?)', 1)
+      AS DOUBLE) DESC, obj DESC, page ASC
+LIMIT 25
+"""
+
+
 # Property path: inverse step composed with a sequence step
 # ((^kg:mentions)/schema:inLanguage — "languages of the pages that
 # mention this entity"), joined with a plain pattern. Paths evaluate as
@@ -2234,6 +2292,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_from_named": (q_sparql_from_named, SQL_SPARQL_FROM_NAMED),
     "sparql_group_count": (q_sparql_group_count, SQL_SPARQL_GROUP_COUNT),
     "sparql_order_numeric": (q_sparql_order_numeric, SQL_SPARQL_ORDER_NUMERIC),
+    "sparql_numeric_exponent": (
+        q_sparql_numeric_exponent,
+        SQL_SPARQL_NUMERIC_EXPONENT,
+    ),
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
     "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),
     "sparql_minus_having": (q_sparql_minus_having, SQL_SPARQL_MINUS_HAVING),

@@ -618,7 +618,11 @@ def _parse_values(
             return None
         if re.match(r"^[-+]?\d+$", tok):
             return f'"{tok}"^^<{_XSD_INT_DT}>'
-        if re.match(r"^[-+]?\d+\.\d+$", tok):
+        # SPARQL 1.1 grammar: DOUBLE carries an exponent, DECIMAL is
+        # [0-9]* '.' [0-9]+ (leading dot allowed)
+        if re.match(r"^[-+]?(?:\d+\.?\d*|\.\d+)[eE][-+]?\d+$", tok):
+            return f'"{tok}"^^<{_XSD_NS}double>'
+        if re.match(r"^[-+]?\d*\.\d+$", tok):
             return f'"{tok}"^^<{_XSD_DEC_DT}>'
         return _expand(tok, prefixes)
 
@@ -1497,7 +1501,9 @@ def _group_df_info(
     return df, mn
 
 
-_NUM_LIT_RE = re.compile(r'^"([-+]?\d+(?:\.\d+)?)"(?:\^\^<[^>]*>)?$')
+_NUM_LIT_RE = re.compile(
+    r'^"([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)"(?:\^\^<[^>]*>)?$'
+)
 
 
 def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
@@ -1578,7 +1584,7 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
         m = _NUM_LIT_RE.match(term)
         if m:
             return F.lit(float(m.group(1))), "num"
-        if re.match(r"^[-+]?\d+(\.\d+)?$", term):
+        if re.match(r"^[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?$", term):
             return F.lit(float(term)), "num"
         return F.lit(term), "plain"
     raise ValueError(f"bad filter operand {term!r}")
@@ -1631,10 +1637,16 @@ def _numeric_value(col: Column) -> Column:
     comparison evaluates to NULL and the row is filtered — SPARQL's
     type-error-is-false semantics. try_cast keeps that behavior under
     ANSI mode, where a plain cast of '' would throw instead.
+
+    The pattern covers every xsd:double/decimal lexical shape a term
+    can carry: exponent notation ("1.0E7" — Spark's double→string cast
+    and Java Double.toString emit E-notation for |x| ≥ 1e7 or < 1e-3,
+    and lex_value_col passes that through), leading-dot decimals
+    (".5"), and trailing-dot integers ("3.").
     """
-    return F.regexp_extract(col, r'^"?([-+]?\d+(?:\.\d+)?)', 1).try_cast(
-        "double"
-    )
+    return F.regexp_extract(
+        col, r'^"?([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)', 1
+    ).try_cast("double")
 
 
 def _filter_col(node: FilterNode, df: DataFrame) -> Column:

@@ -330,7 +330,17 @@ def _bind_detail(
     several patterns to the same map can merge into one compilation.
     ``gctx`` (quad mode) additionally excludes branches whose graph maps
     provably cannot emit into the pattern's graph context."""
-    if not _subject_compatible(tm, tp.s, options):
+    # A property-path pattern's constant subject constrains only ONE end
+    # of the path: intermediate/terminal hop triples have other subjects,
+    # and an inverse step (^p) puts the pattern subject in the data
+    # OBJECT position. The evaluator (bgp._pattern_df) applies endpoint
+    # constants AFTER computing path pairs over the whole frame, so the
+    # fragment must keep every map that can emit a path-predicate triple
+    # regardless of subject — mirror _prune_pom/_residual, which already
+    # exempt path patterns from object/constant restriction.
+    if not isinstance(tp.p, Path) and not _subject_compatible(
+        tm, tp.s, options
+    ):
         return None
     preds = _pred_candidates(tp.p)
 

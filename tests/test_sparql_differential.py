@@ -18,10 +18,30 @@ from morph_xr2rml_spark.sparql import sparql_select
 
 EX = "http://example.org/"
 _INT = "http://www.w3.org/2001/XMLSchema#integer"
+_DBL = "http://www.w3.org/2001/XMLSchema#double"
 
 
 def _lit(n: int) -> str:
     return f'"{n}"^^<{_INT}>'
+
+
+def _dlit(s: str) -> str:
+    return f'"{s}"^^<{_DBL}>'
+
+
+import re as _nre  # noqa: E402
+
+_NUM_RE = _nre.compile(r'^"?([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)')
+
+
+def _num(term: str):
+    """Naive mirror of the engine's _numeric_value: prefix-parse the
+    lexical numeric value (E-notation and leading-dot included), None
+    for non-numeric terms."""
+    if not term.startswith('"'):
+        return None
+    m = _NUM_RE.match(term)
+    return float(m.group(1)) if m else None
 
 
 # ---------------------------------------------------------------------------
@@ -71,9 +91,8 @@ def naive_select(graph, patterns, optional, filt_var, filt_min, distinct):
             v = b.get(filt_var)
             if v is None:
                 continue
-            if not v.startswith('"'):
-                continue
-            if int(v[1 : v.index('"', 1)]) >= filt_min:
+            n = _num(v)
+            if n is not None and n >= filt_min:
                 kept.append(b)
         sols = kept
     rows = [tuple(sorted(b.items())) for b in sols]
@@ -86,7 +105,15 @@ def naive_select(graph, patterns, optional, filt_var, filt_min, distinct):
 
 _SUBJ = [f"<{EX}s{i}>" for i in range(4)]
 _PRED = [f"<{EX}p{i}>" for i in range(3)]
-_OBJ = _SUBJ + [_lit(n) for n in range(4)]
+# E-notation doubles included deliberately: Spark's double→string cast
+# emits E-notation for |x| ≥ 1e7, and round-3 found _numeric_value
+# parsing "1.0E7" as 1.0 — these literals keep that path covered in
+# every FILTER / ORDER BY differential below
+_OBJ = _SUBJ + [_lit(n) for n in range(4)] + [
+    _dlit("1.0E7"),
+    _dlit("2.5E-2"),
+    _dlit(".5"),
+]
 
 triple_st = st.tuples(
     st.sampled_from(_SUBJ), st.sampled_from(_PRED), st.sampled_from(_OBJ)
@@ -476,11 +503,12 @@ def test_differential_union_join(spark):
 def _order_key(term: str):
     """Mirror of the engine's composite sort key: numeric terms by
     value then lexical form; non-numeric terms first, lexically."""
-    import re as _re
-
-    m = _re.match(r'^"?([-+]?\d+(?:\.\d+)?)', term)
-    if m:
-        return (1, float(m.group(1)), term)
+    n = _num(term) if term.startswith('"') else None
+    if n is None:
+        m = _NUM_RE.match(term)
+        n = float(m.group(1)) if m else None
+    if n is not None:
+        return (1, n, term)
     return (0, 0.0, term)
 
 

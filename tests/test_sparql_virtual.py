@@ -168,6 +168,15 @@ EQUIV_QUERIES = [
     } GROUP BY ?d ORDER BY ?d""",
     # property path: dept of an employee, then its name (seq path)
     PREFIX + "SELECT ?n ?dn WHERE { ?e ex:name ?n . ?e ex:dept/ex:deptName ?dn }",
+    # CONSTANT-subject path: the subject constrains only the first hop —
+    # intermediate-hop triples (dept/deptName) have other subjects, so
+    # subject-compatibility pruning must be disabled for path patterns
+    PREFIX
+    + "SELECT ?dn WHERE { <http://example.org/emp/10> ex:dept/ex:deptName ?dn }",
+    # inverse path with a constant subject: ^ex:dept puts the pattern
+    # subject in the data OBJECT position — TMEmp (whose subjects are
+    # emp/{eid}, never dept/…) must stay bound
+    PREFIX + "SELECT ?e WHERE { <http://example.org/dept/1> ^ex:dept ?e }",
 ]
 
 
@@ -302,6 +311,41 @@ def test_zero_length_path_uses_full_graph(setup, spark):
         vg.release()
 
 
+def test_constant_subject_path_keeps_intermediate_hops(setup, spark):
+    """Regression (round-4 advice, high): _bind_detail used to apply
+    _subject_compatible even for Path predicates, excluding TMDept from
+    the fragment of '<emp/10> ex:dept/ex:deptName ?dn' — the deptName
+    hop's subjects are dept IRIs, so the answer came back empty while
+    materialize-then-query returned Engineering."""
+    doc, catalog, triples = setup
+    q = (
+        PREFIX
+        + "SELECT ?dn WHERE { <http://example.org/emp/10> ex:dept/ex:deptName ?dn }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        assert got == _rows(sparql_select(triples, q))
+        assert got == [('"Engineering"',)]
+    finally:
+        vg.release()
+
+
+def test_constant_subject_inverse_path(setup, spark):
+    doc, catalog, triples = setup
+    q = PREFIX + "SELECT ?e WHERE { <http://example.org/dept/1> ^ex:dept ?e }"
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+        assert got == _rows(sparql_select(triples, q))
+        assert got == [
+            ("<http://example.org/emp/10>",),
+            ("<http://example.org/emp/11>",),
+        ]
+    finally:
+        vg.release()
+
+
 def test_rdf_list_patterns_bind_collection_pom(spark):
     ttl = """\
 @prefix xrr: <http://i3s.unice.fr/xr2rml#> .
@@ -362,7 +406,7 @@ _NAMES = ["alice", "bob", "x y", "née", ""]
         max_size=4,
         unique_by=lambda r: r[0],
     ),
-    qidx=st.integers(min_value=0, max_value=6),
+    qidx=st.integers(min_value=0, max_value=7),
     const_id=st.integers(min_value=0, max_value=6),
     const_name=st.sampled_from(_NAMES),
 )
@@ -401,6 +445,9 @@ def _virtual_differential(spark, emp_rows, dept_rows, qidx, const_id, const_name
         + f"""SELECT ?x WHERE {{
             {{ ?x ex:deptName "{esc}" }} UNION {{ ?x ex:salary ?s . FILTER(?s > 90) }}
         }}""",
+        PREFIX
+        + f"SELECT ?dn WHERE {{ <http://example.org/emp/{const_id}> "
+        "ex:dept/ex:deptName ?dn }",
     ]
     q = queries[qidx]
     triples = MappingCompiler(spark, doc, catalog).triples()
