@@ -315,34 +315,150 @@ def scale_level_run(n: int) -> dict:
             "tps": round(triples / best, 1)}
 
 
+def scale_server(n: int) -> None:
+    """Long-lived measurement server at local[n] (core-pinned by the
+    coordinator via taskset): builds the session, warms it, materializes
+    the replicated input once (untimed — a cluster job reads a concrete
+    table), then runs ONE timed repeat per 'go' line on stdin and prints
+    the result. Keeping every level alive at once lets the coordinator
+    interleave repeats across levels, so the N and 4N samples of each
+    round land in the SAME hypervisor-steal phase (round-3 finding: the
+    sandbox's steal comes in ~5-minute phases, and sequential per-level
+    budgets let one level's whole budget land in a bad phase)."""
+    spark = build_session(
+        f"bench-scaling-{n}",
+        master=f"local[{n}]",
+        shuffle_partitions=max(2 * n, 4),
+        extra_conf=dict(
+            _MEM_CONF,
+            **{
+                "spark.sql.adaptive.enabled": "false",
+                "spark.shuffle.file.buffer": "1m",
+                "spark.shuffle.unsafe.file.output.buffer": "1m",
+                "spark.reducer.maxSizeInFlight": "128m",
+            },
+        ),
+    )
+    from morph_xr2rml_spark.plans.caching import release_caches
+
+    materialization_job(spark, replicated_documents(spark, SF_DIR, 2))
+    docs = replicated_documents(spark, SF_DIR, REPLICATE).persist()
+    docs.count()
+    print("SCALE_READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "quit":
+            break
+        if cmd != "go":
+            continue
+        plan, cached = build_materialization(spark, docs)
+        t0 = time.time()
+        for df in cached:
+            df.count()
+        triples = plan.count()
+        dt = time.time() - t0
+        for df in cached:
+            df.unpersist()
+        release_caches()
+        print(
+            "SCALE_RESULT " + json.dumps({"dt": dt, "triples": triples}),
+            flush=True,
+        )
+    docs.unpersist()
+    spark.stop()
+
+
+# disjoint pin ranges for the 2- and 8-core servers so an idle sibling
+# JVM's background threads never sit on a measuring level's cores; the
+# 32-core level necessarily spans the machine
+_PIN_RANGES = {2: "0-1", 8: "2-9", 32: "0-31"}
+
+
 def run_scaling() -> dict[str, object]:
+    """Interleaved N / 4N / 32 measurement (round-3 verdict fix #3):
+    one server process per level, repeats taken round-robin
+    (n2_i, n8_i, n32_i adjacent in time), so steal phases hit every
+    level of a round equally. Efficiency uses per-level steady-state
+    floors across the same wall window; the per-round matched-pair
+    ratios are recorded as evidence of phase-fairness."""
+    import shutil
     import subprocess
 
-    out: dict[str, object] = {}
-    by_level: dict[int, dict] = {}
-    import shutil
-
+    procs: dict[int, subprocess.Popen] = {}
     for n in SCALE_LEVELS:
-        cmd = [sys.executable, os.path.abspath(__file__), f"--scale-level={n}"]
+        cmd = [sys.executable, os.path.abspath(__file__), f"--scale-server={n}"]
         if shutil.which("taskset"):
             # pin the whole process tree (JVM GC/JIT threads + Python
             # workers included) to n CPUs — the faithful proxy for an
             # n-core cluster; local[n] alone only caps task slots
-            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        rec = json.loads(proc.stdout.strip().splitlines()[-1])
-        by_level[n] = rec
-        out[f"n{n}_seconds"] = rec["seconds"]
-        out[f"n{n}_triples_per_sec"] = rec["tps"]
-    counts = {rec["triples"] for rec in by_level.values()}
+            cmd = ["taskset", "-c", _PIN_RANGES[n]] + cmd
+        procs[n] = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            bufsize=1,
+        )
+
+    def _read_until(p: subprocess.Popen, prefix: str) -> str:
+        for line in p.stdout:
+            s = line.strip()
+            if s.startswith(prefix):
+                return s[len(prefix):].strip()
+        raise RuntimeError(f"scale server exited before '{prefix}'")
+
+    try:
+        # servers warm up / build input concurrently (all untimed)
+        for n in SCALE_LEVELS:
+            _read_until(procs[n], "SCALE_READY")
+
+        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
+        min_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
+        rounds: list[dict[int, dict]] = []
+        t_start = time.time()
+        while len(rounds) < min_rounds or (
+            time.time() - t_start < budget and len(rounds) < 12
+        ):
+            rec: dict[int, dict] = {}
+            for n in SCALE_LEVELS:  # strictly serialized within a round
+                procs[n].stdin.write("go\n")
+                procs[n].stdin.flush()
+                rec[n] = json.loads(_read_until(procs[n], "SCALE_RESULT "))
+            rounds.append(rec)
+            print(
+                f"[scale round {len(rounds)}] "
+                + " ".join(f"n{n}={rec[n]['dt']:.2f}s" for n in SCALE_LEVELS),
+                file=sys.stderr,
+            )
+    finally:
+        for p in procs.values():
+            try:
+                p.stdin.write("quit\n")
+                p.stdin.flush()
+            except Exception:
+                pass
+        for p in procs.values():
+            try:
+                p.wait(timeout=180)
+            except Exception:
+                p.kill()
+
+    counts = {r[n]["triples"] for r in rounds for n in SCALE_LEVELS}
     assert len(counts) == 1, "scaling runs must produce identical output"
-    out["triples"] = by_level[SCALE_LEVELS[0]]["triples"]
-    out["efficiency_2_to_8"] = round(
-        (by_level[8]["tps"] / by_level[2]["tps"]) / 4.0, 3
-    )
-    out["efficiency_8_to_32"] = round(
-        (by_level[32]["tps"] / by_level[8]["tps"]) / 4.0, 3
-    )
+    triples = rounds[0][SCALE_LEVELS[0]]["triples"]
+    out: dict[str, object] = {"triples": triples, "rounds": len(rounds)}
+    best = {n: min(r[n]["dt"] for r in rounds) for n in SCALE_LEVELS}
+    for n in SCALE_LEVELS:
+        out[f"n{n}_seconds"] = round(best[n], 2)
+        out[f"n{n}_triples_per_sec"] = round(triples / best[n], 1)
+    pairs_28 = [round(r[2]["dt"] / r[8]["dt"] / 4.0, 3) for r in rounds]
+    pairs_832 = [round(r[8]["dt"] / r[32]["dt"] / 4.0, 3) for r in rounds]
+    out["efficiency_2_to_8"] = round(best[2] / best[8] / 4.0, 3)
+    out["efficiency_8_to_32"] = round(best[8] / best[32] / 4.0, 3)
+    out["efficiency_2_to_8_pairs"] = pairs_28
+    out["efficiency_8_to_32_pairs"] = pairs_832
+    out["efficiency_2_to_8_best_pair"] = max(pairs_28)
     out["efficiency"] = out["efficiency_2_to_8"]  # the N->4N criterion
     return out
 
@@ -351,6 +467,9 @@ def main() -> None:
     for arg in sys.argv[1:]:
         if arg.startswith("--scale-level="):
             print(json.dumps(scale_level_run(int(arg.split("=")[1]))))
+            return
+        if arg.startswith("--scale-server="):
+            scale_server(int(arg.split("=")[1]))
             return
     do_scaling = "--no-scaling" not in sys.argv
     do_sf_scaling = "--no-sf-scaling" not in sys.argv
