@@ -2207,6 +2207,67 @@ FROM nation
 """
 
 
+# Rewriting mode over a DOCUMENT (MongoDB-style find()) source: the
+# object constant pushes down as a get_json_object Catalyst filter on
+# the raw document column — the Spark-native analogue of the reference
+# compiling SPARQL constants into the Mongo query
+# (JsonPathToMongoTranslator.scala:242-463, rules R0-R9) — composing
+# with the find() predicate already at the scan.
+EVENTS_DOCS_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMEvent>
+    xrr:logicalSource [ xrr:query "db.events_docs.find({'etype': {$exists: 1}})";
+                        xrr:referenceFormulation xrr:JSONPath ];
+    rr:subjectMap [ rr:template "http://example.org/event/{$.event_id}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:etype;
+        rr:objectMap [ xrr:reference "$.etype" ];
+    ];
+    rr:predicateObjectMap [
+        rr:predicate ex:user;
+        rr:objectMap [ xrr:reference "$.user" ];
+    ];
+    .
+"""
+
+SPARQL_VIRTUAL_DOC = """
+PREFIX ex: <http://example.org/ontology#>
+SELECT ?e ?u WHERE {
+    ?e ex:etype "purchase" .
+    ?e ex:user ?u .
+}
+"""
+
+
+def q_sparql_virtual_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sparql import VirtualGraph
+
+    events = _load(spark, sf_dir, "events")
+    docs = events.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id").cast("string").alias("user"),
+                F.col("event_type").alias("etype"),
+            )
+        ).alias("doc")
+    )
+    catalog = SourceCatalog(spark).register("events_docs", docs, doc_column="doc")
+    vg = VirtualGraph(spark, parse_mapping(EVENTS_DOCS_TTL), catalog)
+    return vg.select(SPARQL_VIRTUAL_DOC)
+
+
+SQL_SPARQL_VIRTUAL_DOC = f"""
+SELECT DISTINCT '<{EX}event/' || event_id || '>' AS e,
+       '"' || user_id || '"' AS u
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
 SPARQL_VIRTUAL_GRAPH = """
 PREFIX ex: <http://example.org/ontology#>
 SELECT ?n ?v WHERE { GRAPH ex:gNames { ?n ex:name ?v } }
@@ -2304,6 +2365,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_virtual_join": (q_sparql_virtual_join, SQL_SPARQL_VIRTUAL_JOIN),
     "sparql_virtual_const": (q_sparql_virtual_const, SQL_SPARQL_VIRTUAL_CONST),
     "sparql_virtual_graph": (q_sparql_virtual_graph, SQL_SPARQL_VIRTUAL_GRAPH),
+    "sparql_virtual_doc": (q_sparql_virtual_doc, SQL_SPARQL_VIRTUAL_DOC),
 }
 
 

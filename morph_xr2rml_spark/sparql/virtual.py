@@ -52,15 +52,18 @@ from ..compiler.compile import CompileOptions, MappingCompiler
 from ..functions import terms
 from ..functions.paths import MixedSyntaxPath
 from ..functions.templates import get_template_groups, get_template_matching
+from ..compiler.udfs import rewrite_mongo_id
+from ..functions.paths import _jp_tokenize
 from ..mapping.model import (
     COLUMN,
     CONSTANT,
+    REFERENCE,
     TEMPLATE,
     MappingDocument,
     PredicateObjectMap,
     TriplesMap,
 )
-from ..sources.catalog import SourceCatalog
+from ..sources.catalog import _MONGO_FIND_RE, SourceCatalog
 from .bgp import (
     Group,
     Path,
@@ -524,6 +527,114 @@ def _object_pushdown(
     return terms.lex_value_col(F.col(om.column), dtype) == F.lit(raw)
 
 
+def _simple_json_field(expr: str) -> str | None:
+    """``$.a.b`` -> ``a.b`` when the reference is ONE JSONPath step of
+    plain field accesses (no wildcard / descent / index / filter), i.e.
+    exactly the shape ``get_json_object`` evaluates identically; else
+    None. ``$._id`` rewrites to ``$._id.$oid`` whose ``$oid`` segment is
+    rejected here (get_json_object cannot address it)."""
+    msp = MixedSyntaxPath.parse(rewrite_mongo_id(expr), "JSONPath")
+    if len(msp.steps) != 1 or msp.steps[0].kind != "JSONPath":
+        return None
+    steps = _jp_tokenize(msp.steps[0].expr)
+    if not steps:
+        return None
+    fields: list[str] = []
+    for s in steps:
+        if not isinstance(s, str) or not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", s):
+            return None
+        fields.append(s)
+    return ".".join(fields)
+
+
+def _doc_value_filter(doc: Column, field: str, value: str) -> Column:
+    """Keep exactly the documents whose ``field`` COULD render as the
+    lexical ``value`` during term construction — the document-source
+    analogue of the reference's JsonPathToMongoTranslator pushing a
+    SPARQL constant into the Mongo find() query (rules R0-R9,
+    JsonPathToMongoTranslator.scala:242-463), expressed as a Catalyst
+    predicate on the raw document column so it reaches the scan.
+
+    Never a false exclusion (the binder is a reducer; the per-pattern
+    residual makes the fragment exact):
+      * missing field / JSON null  -> get_json_object NULL, and the
+        template/reference evaluator drops None values (no term), so
+        ``IS NOT NULL`` is implied;
+      * scalar string -> get_json_object returns the decoded text, equal
+        to the evaluated value;
+      * numbers -> formatting may differ ("1" vs "1.0" vs "1e0"), so
+        numeric equality is accepted too;
+      * booleans -> Python renders "True"/"False" vs JSON "true", so
+        case-insensitive equality is accepted;
+      * arrays/objects (prefix ``[``/``{``) -> evaluation semantics
+        diverge from get_json_object, so such rows are always kept.
+    """
+    gj = F.get_json_object(doc, "$." + field)
+    cond = (
+        gj.startswith("[")
+        | gj.startswith("{")
+        | (F.lower(gj) == F.lit(value.lower()))
+    )
+    try:
+        num = float(value)
+    except ValueError:
+        pass
+    else:
+        if num == num and num not in (float("inf"), float("-inf")):
+            cond = cond | (gj.try_cast("double") == F.lit(num))
+    return gj.isNotNull() & cond
+
+
+def _doc_subject_pushdown(
+    pruned: TriplesMap, s: str, doc: Column, options: CompileOptions
+) -> Column | None:
+    """Document-source twin of :func:`_subject_pushdown`: the Catalyst
+    filter implied by ``subj == s`` on the raw document column, or None
+    when the template inversion is not provably exact."""
+    if not s.startswith("<"):
+        return None
+    sm = pruned.subject_map
+    if sm.kind != TEMPLATE or sm.ref_formulation != "JSONPath":
+        return None
+    if not _template_invariant(sm.template):
+        return None
+    groups = get_template_groups(sm.template)
+    if len(groups) != 1:
+        return None
+    field = _simple_json_field(groups[0])
+    if field is None:
+        return None
+    match = get_template_matching(sm.template, s[1:-1])
+    if len(match) != 1:
+        return None
+    value = next(iter(match.values()))
+    if not _UNRESERVED.match(value):
+        return None
+    return _doc_value_filter(doc, field, value)
+
+
+def _doc_object_pushdown(
+    pruned: TriplesMap, tp: TriplePattern, doc: Column
+) -> Column | None:
+    """Document-source twin of :func:`_object_pushdown` for a literal
+    object over a single plain JSONPath reference object map."""
+    if isinstance(tp.p, Path) or _is_var(tp.o) or not tp.o.startswith('"'):
+        return None
+    if pruned.subject_map.class_uris or len(pruned.predicate_object_maps) != 1:
+        return None
+    pom = pruned.predicate_object_maps[0]
+    if pom.ref_object_maps or len(pom.object_maps) != 1:
+        return None
+    om = pom.object_maps[0]
+    if om.kind != REFERENCE or om.ref_formulation != "JSONPath":
+        return None
+    field = _simple_json_field(om.reference)
+    if field is None:
+        return None
+    lit = parse_term(tp.o)
+    return _doc_value_filter(doc, field, lit["value"])
+
+
 # ---------------------------------------------------------------------------
 # the virtual graph
 # ---------------------------------------------------------------------------
@@ -562,6 +673,47 @@ class VirtualGraph:
         cat.unique_keys = dict(self.catalog.unique_keys)
         cat.tables[table] = self.catalog._table(table).filter(cond)
         return cat
+
+    def _doc_column(self, collection: str) -> Column | None:
+        """The raw document column of a registered find() collection
+        (explicitly registered, or the single string column), as it
+        exists BEFORE resolve() — pushdown filters prepend to the scan.
+        None for row-shaped multi-column sources (their ``__doc__`` is
+        synthesized later, so there is nothing to filter on yet)."""
+        try:
+            src = self.catalog._table(collection)
+        except Exception:  # noqa: BLE001 — unregistered collection
+            return None
+        name = self.catalog.doc_columns.get(collection)
+        if name is None and len(src.columns) == 1:
+            field = src.schema.fields[0]
+            if field.dataType.simpleString() == "string":
+                name = field.name
+        if name is None or name not in src.columns:
+            return None
+        return F.col(name)
+
+    def _rom_parent_reads(self, pruned: TriplesMap, table: str) -> bool:
+        """True when any retained RefObjectMap's parent triples map may
+        read ``table`` — pushdown must then be skipped, because the
+        filtered catalog entry would starve the parent side of the join
+        (a self-join ROM's parent rows rarely satisfy the child's
+        subject constraint). SQL-query parents are treated as 'may
+        read' (their table set is not statically known here)."""
+        for pom in pruned.predicate_object_maps:
+            for rom in pom.ref_object_maps:
+                ptm = self.doc.triples_maps.get(rom.parent_triples_map)
+                if ptm is None:
+                    return True
+                pls = ptm.logical_source
+                if pls.kind == "table":
+                    if pls.value == table:
+                        return True
+                    continue
+                m = _MONGO_FIND_RE.match(pls.value)
+                if m is None or m.group("collection") == table:
+                    return True
+        return False
 
     def _compile_tm(
         self,
@@ -647,19 +799,45 @@ class VirtualGraph:
                 if detail is None:
                     continue
                 cond = None
+                table = None
                 ls = tm.logical_source
-                if ls.kind == "table" and not ls.iterator and not is_path:
-                    pruned = _detail_to_tm(tm, detail)
-                    src = self.catalog._table(ls.value)
-                    cond = _subject_pushdown(pruned, tp.s, src, self.options)
-                    ocond = _object_pushdown(pruned, tp, src)
-                    if ocond is not None:
-                        cond = ocond if cond is None else (cond & ocond)
+                if not ls.iterator and not is_path:
+                    if ls.kind == "table":
+                        table = ls.value
+                        pruned = _detail_to_tm(tm, detail)
+                        src = self.catalog._table(table)
+                        cond = _subject_pushdown(pruned, tp.s, src, self.options)
+                        ocond = _object_pushdown(pruned, tp, src)
+                        if ocond is not None:
+                            cond = ocond if cond is None else (cond & ocond)
+                    else:
+                        mfind = _MONGO_FIND_RE.match(ls.value)
+                        doc_col = (
+                            self._doc_column(mfind.group("collection"))
+                            if mfind
+                            else None
+                        )
+                        if doc_col is not None:
+                            table = mfind.group("collection")
+                            pruned = _detail_to_tm(tm, detail)
+                            cond = _doc_subject_pushdown(
+                                pruned, tp.s, doc_col, self.options
+                            )
+                            ocond = _doc_object_pushdown(pruned, tp, doc_col)
+                            if ocond is not None:
+                                cond = ocond if cond is None else (cond & ocond)
+                    # the filter replaces the CATALOG entry, so a
+                    # RefObjectMap whose parent reads the same table
+                    # would see its parent side starved (a self-join
+                    # ROM's parent rows rarely satisfy the child's
+                    # subject constraint) — keep such maps unfiltered
+                    if cond is not None and self._rom_parent_reads(pruned, table):
+                        cond = None
                 if cond is not None:
                     frame = self._compile_tm(
                         tm.name,
                         pruned,
-                        self._filtered_catalog(ls.value, cond),
+                        self._filtered_catalog(table, cond),
                         quads=quads,
                     )
                     if frame is not None:
