@@ -892,11 +892,25 @@ class MappingCompiler:
             MixedSyntaxPath.parse(jc.parent_ref, "Column").referenced_column
             for jc in conds
         ]
+        # differently-typed key columns join on their string forms
+        # (childValues.map(_.toString) intersection,
+        # MorphRDBDataTranslator.scala:170-180) — a raw == would make
+        # ANSI mode throw casting a non-numeric child value to the
+        # parent's numeric type
+        mixed = [
+            raw_base.schema[cc].dataType != pdf.schema[pc].dataType
+            for cc, pc in zip(ccols, pcols)
+        ]
         parent_j = pdf
         if psubj.defined is not None:
             parent_j = parent_j.where(psubj.defined)
         parent_n = parent_j.select(
-            *[F.col(pc).alias(f"__pk{i}") for i, pc in enumerate(pcols)],
+            *[
+                (F.col(pc).cast("string") if mixed[i] else F.col(pc)).alias(
+                    f"__pk{i}"
+                )
+                for i, pc in enumerate(pcols)
+            ],
             psubj.col.alias("__psubj"),
         )
         if psubj.defined is None:
@@ -911,7 +925,8 @@ class MappingCompiler:
         child_n = child_n.select(*[F.col(c) for c in crefs])
         on = None
         for i, cc in enumerate(ccols):
-            c = child_n[cc] == parent_n[f"__pk{i}"]
+            ck = child_n[cc].cast("string") if mixed[i] else child_n[cc]
+            c = ck == parent_n[f"__pk{i}"]
             on = c if on is None else (on & c)
         pairs = child_n.join(parent_n, on, "inner").select(
             *[child_n[c] for c in (subj.refs or ())], parent_n["__psubj"]
@@ -1379,8 +1394,16 @@ class MappingCompiler:
             for i, jc in enumerate(conds):
                 ccol = MixedSyntaxPath.parse(jc.child_ref, "Column").referenced_column
                 pcol = MixedSyntaxPath.parse(jc.parent_ref, "Column").referenced_column
-                child_j = child_j.withColumn(f"__ck{i}", F.col(ccol))
-                parent_j = parent_j.withColumn(f"__pk{i}", F.col(pcol))
+                ck, pk = F.col(ccol), F.col(pcol)
+                if child_j.schema[ccol].dataType != parent_j.schema[pcol].dataType:
+                    # differently-typed key columns join on their string
+                    # forms (childValues.map(_.toString) intersection,
+                    # MorphRDBDataTranslator.scala:170-180) — a raw ==
+                    # would make ANSI mode throw casting a non-numeric
+                    # child value to the parent's numeric type
+                    ck, pk = ck.cast("string"), pk.cast("string")
+                child_j = child_j.withColumn(f"__ck{i}", ck)
+                parent_j = parent_j.withColumn(f"__pk{i}", pk)
                 c = child_j[f"__ck{i}"] == parent_j[f"__pk{i}"]
                 on = c if on is None else (on & c)
             joined = child_j.join(parent_j, on, "inner")
