@@ -208,6 +208,31 @@ def _expand(tok: str, prefixes: dict[str, str]) -> str:
     return tok
 
 
+_PROLOGUE_RE = re.compile(
+    r"\s*(?:(?:PREFIX\s+[\w-]*:|BASE)\s*<[^>]*>\s*)*", re.IGNORECASE
+)
+
+
+def query_form(query: str) -> tuple[str, str, int, int]:
+    """(form, stripped_text, start, end): the query-form keyword
+    (SELECT/ASK/CONSTRUCT/DESCRIBE) that starts the query proper, with
+    comments removed and the prologue's PREFIX/BASE clauses skipped —
+    so an IRI like <http://x/ask/> inside a prologue line is never
+    mistaken for the keyword. Offsets index ``stripped_text``; callers
+    that rewrite the keyword splice there (comment removal is
+    semantics-preserving)."""
+    text = _strip_comments(query)
+    pos = _PROLOGUE_RE.match(text).end()
+    m = re.match(
+        r"(SELECT|ASK|CONSTRUCT|DESCRIBE)\b", text[pos:], re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(
+            "not a SPARQL query form (SELECT/ASK/CONSTRUCT/DESCRIBE)"
+        )
+    return m.group(1).upper(), text, pos + m.start(1), pos + m.end(1)
+
+
 def _strip_comments(text: str) -> str:
     """Remove '#'-to-end-of-line comments, ignoring '#' inside <IRI>
     refs and quoted strings (SPARQL 1.1 grammar: comments are outside
@@ -1766,35 +1791,42 @@ def _order_cols(df: DataFrame, order_by: list[tuple[object, bool]]) -> list[Colu
     "10"^^xsd:integer), not lexically — the reference gets this free by
     re-evaluating the SPARQL with Jena ARQ over the temporary graph
     (MorphMongoQueryProcessor.process:45-150, ARQ eval at :55). Each
-    lexical-term key becomes a composite (numeric value, lexical form)
-    sort key: numerics order by value with the lexical form as the
-    deterministic tie-break, and non-numeric terms (NULL numeric key,
-    IRIs sorted before literals per SPARQL's term ordering) group
-    together and order lexically. Columns that are already numeric
-    (aggregate aliases) or expression keys compile directly."""
+    lexical-term key becomes a composite (term-class rank, numeric
+    value, lexical form) sort key: the rank orders term classes per
+    SPARQL 1.1 §15.1 (unbound < blank node < IRI < literal), numerics
+    order by value with the lexical form as the deterministic
+    tie-break, and non-numeric terms (NULL numeric key, sorted before
+    numerics within their class) order lexically. Columns that are
+    already numeric (aggregate aliases) or expression keys compile
+    directly."""
     cols: list[Column] = []
     fields = {f.name: f.dataType for f in df.schema.fields}
+
+    def _term_keys(col: Column, asc: bool) -> list[Column]:
+        rank = (
+            F.when(col.isNull(), F.lit(0))
+            .when(col.startswith("_:"), F.lit(1))
+            .when(col.startswith("<"), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        num = _numeric_value(col)
+        if asc:
+            return [rank.asc(), num.asc_nulls_first(), col.asc()]
+        return [rank.desc(), num.desc_nulls_last(), col.desc()]
+
     for key, asc in order_by:
         if isinstance(key, str):
             col = F.col(key)
             if isinstance(fields.get(key), T.NumericType):
                 cols.append(col.asc() if asc else col.desc())
                 continue
-            num = _numeric_value(col)
-            if asc:
-                cols.extend([num.asc_nulls_first(), col.asc()])
-            else:
-                cols.extend([num.desc_nulls_last(), col.desc()])
+            cols.extend(_term_keys(col, asc))
             continue
         ecol, kind = _filter_operand(key, df)
         if kind in ("num", "str"):
             cols.append(ecol.asc() if asc else ecol.desc())
         else:
-            num = _numeric_value(ecol)
-            if asc:
-                cols.extend([num.asc_nulls_first(), ecol.asc()])
-            else:
-                cols.extend([num.desc_nulls_last(), ecol.desc()])
+            cols.extend(_term_keys(ecol, asc))
     return cols
 
 

@@ -937,11 +937,16 @@ class VirtualGraph:
         return any(VirtualGraph._has_graphs(g) for g in subs)
 
     def ask(self, query: str) -> bool:
-        m = re.search(r"\bASK\b", query, re.IGNORECASE)
-        if m:  # expandAsk analogue (SparqlQueryRewriter); the SELECT
+        from .bgp import query_form
+
+        form, text, s, e = query_form(query)
+        if form == "ASK":
+            # expandAsk analogue (SparqlQueryRewriter); the SELECT
             # parser treats WHERE as optional and accepts dataset
-            # clauses, so the keyword swap is the whole rewrite
-            query = query[: m.start()] + "SELECT * " + query[m.end():].lstrip()
+            # clauses, so the anchored keyword swap is the whole
+            # rewrite (query_form skips the prologue, so an IRI
+            # containing 'ask' there is never the splice point)
+            query = text[:s] + "SELECT *" + text[e:]
         q = parse_sparql(query)
         q.limit = 1
         return bool(sparql_select(self.fragment(q), q).take(1))
@@ -966,13 +971,130 @@ class VirtualGraph:
             (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
         )
 
-    def describe_where(self, query: str) -> DataFrame:
-        # DESCRIBE needs every property of the matched resources, which
-        # only the full graph knows — evaluate the WHERE virtually, then
-        # describe against the full mapped graph
-        comp = MappingCompiler(self.spark, self.doc, self.catalog, self.options)
-        self._compilers.append(comp)
-        return sparql_describe_where(comp.triples(), query)
+    def describe_where(self, query: str, max_nodes: int = 10_000) -> DataFrame:
+        """``DESCRIBE ?v [?w ...] WHERE {...}``, two-phase virtual
+        (expandDescribe analogue, MorphBaseQueryTranslator.scala:86-92,
+        which also answers DESCRIBE without materializing):
+
+        phase 1 — evaluate the WHERE virtually (its patterns' fragment
+        only) and collect the matched resource terms, bounded by
+        ``max_nodes``;
+        phase 2 — compile ONLY the triples-map branches that can mention
+        those resources (subject-compatible maps keep all their
+        properties; otherwise just the object maps / ref-object maps
+        that can produce a matched node), restricted to the nodes.
+
+        Above the bound the node set is no longer driver-safe, so the
+        evaluation falls back to the fully distributed
+        materialize-then-describe path (two semi-joins)."""
+        from .bgp import _strip_comments
+
+        m = re.search(
+            r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*\{",
+            _strip_comments(query),
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("not a DESCRIBE ?var WHERE query")
+        variables = re.findall(r"\?(\w+)", m.group(1))
+        select = re.sub(
+            r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\b",
+            "SELECT " + " ".join(f"?{v}" for v in variables) + " WHERE",
+            query,
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        bindings = self.select(select)  # phase 1: virtual
+        nodes_df = bindings.select(
+            F.explode(F.array(*[F.col(v) for v in variables])).alias("n")
+        ).distinct()
+        sample = nodes_df.take(max_nodes + 1)
+        if len(sample) > max_nodes:
+            comp = MappingCompiler(
+                self.spark, self.doc, self.catalog, self.options
+            )
+            self._compilers.append(comp)
+            return sparql_describe_where(comp.triples(), query)
+        # literals cannot be described (they never appear as subjects,
+        # and their occurrences as objects are not a resource description)
+        nodes = sorted(
+            {r.n for r in sample if r.n is not None and not r.n.startswith('"')}
+        )
+        return self._describe_nodes(nodes)
+
+    def _describe_nodes(self, nodes: list[str]) -> DataFrame:
+        """The fragment of every triple that can mention one of
+        ``nodes`` as subject or object, restricted exactly to them."""
+        if not nodes:
+            return self.spark.createDataFrame(
+                [], "subj string, pred string, obj string"
+            )
+        iris = [n for n in nodes if n.startswith("<")]
+        has_bnode = any(n.startswith("_:") for n in nodes)
+
+        def om_can_produce(om) -> bool:
+            tt = om.infer_term_type()
+            if has_bnode and tt == terms.TERM_BLANKNODE:
+                return True
+            return any(_iri_can_match(om, n, self.options) for n in iris)
+
+        frames: list[DataFrame] = []
+        for tm in self.doc.triples_maps.values():
+            subj_ok = any(
+                _subject_compatible(tm, n, self.options) for n in nodes
+            )
+            if subj_ok:
+                pruned = tm
+            else:
+                keep: list[PredicateObjectMap] = []
+                for pom in tm.predicate_object_maps:
+                    if _pom_emits_collection(pom):
+                        # connecting objects and chain subjects are
+                        # generated blank nodes
+                        if has_bnode:
+                            keep.append(pom)
+                        continue
+                    oms = tuple(
+                        om for om in pom.object_maps if om_can_produce(om)
+                    )
+                    roms = tuple(
+                        rom
+                        for rom in pom.ref_object_maps
+                        if any(
+                            _subject_compatible(
+                                self.doc.triples_maps[rom.parent_triples_map],
+                                n,
+                                self.options,
+                            )
+                            for n in nodes
+                        )
+                    )
+                    if oms or roms:
+                        keep.append(
+                            replace(pom, object_maps=oms, ref_object_maps=roms)
+                        )
+                if not keep:
+                    continue
+                pruned = replace(
+                    tm,
+                    subject_map=replace(tm.subject_map, class_uris=()),
+                    predicate_object_maps=tuple(keep),
+                )
+            frame = self._compile_tm(tm.name, pruned, self.catalog)
+            if frame is not None:
+                frames.append(
+                    frame.where(
+                        F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
+                    )
+                )
+        if not frames:
+            return self.spark.createDataFrame(
+                [], "subj string, pred string, obj string"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.dropDuplicates()
 
     def release(self) -> None:
         for comp in self._compilers:

@@ -500,16 +500,19 @@ def test_differential_union_join(spark):
 # ---------------------------------------------------------------------------
 
 
-def _order_key(term: str):
-    """Mirror of the engine's composite sort key: numeric terms by
-    value then lexical form; non-numeric terms first, lexically."""
-    n = _num(term) if term.startswith('"') else None
-    if n is None:
-        m = _NUM_RE.match(term)
-        n = float(m.group(1)) if m else None
+def _order_key(term: str | None):
+    """Mirror of the engine's composite sort key: term-class rank per
+    SPARQL 1.1 §15.1 (unbound < blank < IRI < literal), then numeric
+    terms by value then lexical form; non-numeric terms first within
+    their class, lexically."""
+    if term is None:
+        return (0, 0, 0.0, "")
+    rank = 1 if term.startswith("_:") else 2 if term.startswith("<") else 3
+    m = _NUM_RE.match(term)
+    n = float(m.group(1)) if m and m.group(1) else None
     if n is not None:
-        return (1, n, term)
-    return (0, 0.0, term)
+        return (rank, 1, n, term)
+    return (rank, 0, 0.0, term)
 
 
 @settings(max_examples=10, deadline=None)

@@ -576,6 +576,61 @@ def test_virtual_over_document_source(spark):
         vg.release()
 
 
+def test_virtual_describe_where_two_phase(setup, spark):
+    """DESCRIBE ?var no longer materializes the full graph: the WHERE
+    evaluates virtually, the matched nodes are collected (bounded), and
+    only branches that can mention them compile — TMEmp's ex:name /
+    ex:salary POMs never enter the description plan (round-3 verdict
+    missing #2; reference expandDescribe,
+    MorphBaseQueryTranslator.scala:86-92)."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    doc, catalog, triples = setup
+    q = (
+        PREFIX
+        + "DESCRIBE ?d WHERE { ?e ex:dept ?d . ?e ex:salary ?s . FILTER(?s > 100) }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        out = vg.describe_where(q)
+        assert _rows(out) == _rows(sparql_describe_where(triples, q))
+        assert ("<http://example.org/dept/1>",
+                '"Engineering"') in {(r[0], r[2]) for r in _rows(out)}
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # non-node-producing POMs of TMEmp are never compiled: their
+        # predicate IRIs never appear in the description's plan (the
+        # LocalRelation leaf lists all source columns either way, so the
+        # predicate constants are the compile-or-not evidence)
+        assert "ontology#salary" not in plan and "ontology#name" not in plan
+        assert "ontology#dept" in plan  # the ROM branch did compile
+    finally:
+        vg.release()
+
+
+def test_virtual_describe_where_fallback_above_bound(setup, spark):
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    doc, catalog, triples = setup
+    q = PREFIX + "DESCRIBE ?d WHERE { ?e ex:dept ?d }"
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.describe_where(q, max_nodes=1))  # forces fallback
+        assert got == _rows(sparql_describe_where(triples, q))
+        assert got == _rows(vg.describe_where(q))  # two-phase == fallback
+    finally:
+        vg.release()
+
+
+def test_virtual_describe_where_no_match_is_empty(setup, spark):
+    doc, catalog, _t = setup
+    q = PREFIX + 'DESCRIBE ?e WHERE { ?e ex:name "nobody" }'
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        assert _rows(vg.describe_where(q)) == []
+    finally:
+        vg.release()
+
+
 SELFJOIN_TTL = """\
 @prefix xrr: <http://i3s.unice.fr/xr2rml#> .
 @prefix rr:  <http://www.w3.org/ns/r2rml#> .
@@ -960,5 +1015,19 @@ def test_virtual_ask_with_dataset_clause(gsetup, spark):
         assert not vg.ask(PREFIX + "ASK FROM ex:gKeys { ?s ex:name ?v }")
         assert vg.ask(PREFIX + "ASK WHERE { ?s ex:deptno ?d }")
         assert vg.ask(PREFIX + "ASK { ?s ex:deptno ?d }")
+    finally:
+        vg.release()
+
+
+def test_virtual_ask_keyword_anchored_past_prologue(setup, spark):
+    doc, catalog, _t = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        q = (
+            "PREFIX ask: <http://x/ask/>\n"
+            + PREFIX
+            + 'ASK { ?e ex:name "alice" }'
+        )
+        assert vg.ask(q) is True
     finally:
         vg.release()
