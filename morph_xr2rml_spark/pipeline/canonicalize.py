@@ -27,16 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.caching import cache, checkpoint_parquet
+from ..plans.caching import CheckpointScope, cache, checkpoint_parquet
 
 
-def _pin(df: DataFrame, tag: str) -> DataFrame:
+def _pin(df: DataFrame, tag: str, scope: CheckpointScope) -> DataFrame:
     """Materialize a fixpoint round with a REAL lineage cut. Each round
     references the previous round's labels twice (message join + union),
     so a persist-only pin leaves the logical plan doubling per round —
     exponential analysis time. See plans.caching.checkpoint_parquet for
     why localCheckpoint is not an option under AQE."""
-    return checkpoint_parquet(df, tag)
+    return checkpoint_parquet(df, tag, scope=scope)
 
 
 def connected_components(
@@ -57,11 +57,17 @@ def connected_components(
     # lineage is fixed, so persist is safe and cheaper than re-scanning)
     und = cache(und)
     und.count()
+    # each round's labels supersede the previous round's — retire the
+    # older checkpoint files eagerly once the convergence count (the
+    # last reader of the PREVIOUS round) has run, so a long propagation
+    # holds ~2 rounds of files on disk, not max_iter
+    scope = CheckpointScope()
     labels = _pin(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node")),
         "cc_labels_",
+        scope,
     )
     for _ in range(max_iter):
         # neighbor labels flow along edges; keep own label in the pool
@@ -73,6 +79,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component")),
             "cc_labels_",
+            scope,
         )
         changed = (
             new_labels.alias("n")
@@ -82,6 +89,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        scope.retire(keep=1)
         if changed == 0:
             break
     return labels

@@ -24,22 +24,21 @@ from urllib.parse import parse_qs, urlsplit
 
 from pyspark.sql import DataFrame
 
-from .bgp import sparql_construct, sparql_describe, sparql_describe_where, sparql_select
-from .results import ask, to_sparql_json, to_sparql_xml
-
-_FORM_RE = re.compile(
-    r"\b(SELECT|ASK|CONSTRUCT|DESCRIBE)\b", re.IGNORECASE
+from ..plans import caching
+from .bgp import (
+    query_form,
+    sparql_construct,
+    sparql_describe,
+    sparql_describe_where,
+    sparql_select,
 )
+from .results import ask, to_sparql_json, to_sparql_xml
 
 _XML_TYPES = ("application/sparql-results+xml", "application/xml", "text/xml")
 
-
-def _query_form(query: str) -> str:
-    # first query-form keyword outside the prologue
-    m = _FORM_RE.search(query)
-    if not m:
-        raise ValueError("not a SPARQL query form (SELECT/ASK/CONSTRUCT/DESCRIBE)")
-    return m.group(1).upper()
+# requests share the process-global cache/checkpoint registries, so
+# their evaluate + release pairs must not interleave
+_request_lock = threading.Lock()
 
 
 def evaluate(
@@ -54,11 +53,13 @@ def evaluate(
     MorphBaseRunner.runQuery:57-107) instead of from a materialized
     table."""
     virtual = hasattr(triples, "fragment")
-    form = _query_form(query)
+    form, _text, _s, _e = query_form(query)
     want_xml = any(t in accept for t in _XML_TYPES)
     if form == "ASK":
-        # strip the ASK keyword into a SELECT * / LIMIT 1 existence probe
-        body = re.sub(r"\bASK\b", "SELECT *", query, count=1, flags=re.IGNORECASE)
+        # strip the ASK keyword into a SELECT * / LIMIT 1 existence
+        # probe — spliced at the anchored query-form position, so an
+        # IRI containing a word-bounded 'ask' in a PREFIX line is safe
+        body = _text[:_s] + "SELECT *" + _text[_e:]
         result = (
             triples.ask(query) if virtual else ask(sparql_select(triples, body))
         )
@@ -139,10 +140,24 @@ class SparqlEndpoint:
                     self._respond(400, "text/plain", "missing 'query' parameter")
                     return
                 try:
-                    ctype, body = evaluate(
-                        endpoint.triples, query,
-                        self.headers.get("Accept", ""), endpoint.max_rows,
-                    )  # .triples resolves a provider per request
+                    # serialize requests around the process-global cache
+                    # registry: each request is a job boundary, and the
+                    # persists/checkpoints IT created (e.g. a property-
+                    # path closure's fixpoint rounds) are released once
+                    # its results are fully serialized — a long-lived
+                    # endpoint holds at most one request's footprint.
+                    # Pre-existing registrations (the caller's own
+                    # cached/checkpointed triple frame) are left alone.
+                    with _request_lock:
+                        mark = caching.job_mark()
+                        try:
+                            ctype, body = evaluate(
+                                endpoint.triples, query,
+                                self.headers.get("Accept", ""),
+                                endpoint.max_rows,
+                            )  # .triples resolves a provider per request
+                        finally:
+                            caching.release_since(mark)
                 except Exception as e:  # noqa: BLE001 — protocol error reply
                     self._respond(400, "text/plain", f"query error: {e}")
                     return

@@ -189,3 +189,30 @@ def test_connected_components_aqe_shuffle_input(spark, tmp_path):
     assert len({comps[f"n{i}"] for i in range(8)}) == 1
     assert len({comps[f"m{i}"] for i in range(7)}) == 1
     assert comps["n0"] != comps["m0"]
+
+
+def test_checkpoint_lifecycle_bounded_disk(spark):
+    """A fixpoint whose rounds supersede each other retires superseded
+    checkpoint files eagerly (peak on disk ~2 rounds, not one per
+    round), and release_caches() reclaims the survivors at the job
+    boundary — the unbounded-tmp-disk leak a long-lived session would
+    otherwise hit."""
+    import os
+
+    from morph_xr2rml_spark.plans import caching
+
+    caching.release_caches()
+    # a 12-deep chain: min-label propagation needs many rounds, so an
+    # unretired scope would leave many cc_labels_* dirs behind
+    edges = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(12)], "src string, dst string"
+    )
+    cc = canonicalize.connected_components(edges)
+    comps = {r["node"]: r["component"] for r in cc.collect()}
+    assert len(set(comps.values())) == 1
+    live = caching.live_checkpoints()
+    assert len(live) <= 2, live  # superseded rounds already deleted
+    assert all(os.path.isdir(p) for p in live)
+    caching.release_caches()
+    assert caching.live_checkpoints() == []
+    assert all(not os.path.exists(p) for p in live)

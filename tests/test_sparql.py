@@ -1296,3 +1296,108 @@ def test_path_inside_graph_var(spark):
     assert ("<http://x/g1>", "<http://x/a>", "<http://x/a>") in star_nodes
     # a g2 node never self-pairs under g1
     assert ("<http://x/g1>", "<http://x/d>", "<http://x/d>") not in star_nodes
+
+
+def test_many_risky_vars_single_null_tolerant_join(spark):
+    """Joining two UNION groups that share FIVE maybe-unbound variables
+    must not enumerate 2^5 x 2^5 null-pattern pieces (a planning-time
+    blowup): above the 16-piece cap _join_compat emits ONE null-tolerant
+    join, and the answers still follow SPARQL solution compatibility
+    (unbound shared vars match anything, SPARQL 1.1 §18.3)."""
+    EX = "http://example.org/"
+
+    def iri(x):
+        return f"<{EX}{x}>"
+
+    rows = [
+        (iri("s1"), iri("p1"), '"A"'),
+        (iri("s1"), iri("q2"), '"B"'),
+        (iri("s2"), iri("p1"), '"A"'),
+        (iri("s2"), iri("q1"), '"A"'),
+        (iri("s3"), iri("p1"), '"A"'),
+        (iri("s3"), iri("q1"), '"X"'),
+    ]
+    trip = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    union1 = " UNION ".join(
+        "{ ?s ex:p%d ?v%d }" % (i, i) for i in range(1, 6)
+    )
+    union2 = " UNION ".join(
+        "{ ?s ex:q%d ?v%d }" % (i, i) for i in range(1, 6)
+    )
+    q = (
+        f"PREFIX ex: <{EX}>\n"
+        f"SELECT * WHERE {{ {{ {union1} }} {{ {union2} }} }}"
+    )
+    out = sparql_select(trip, q)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1
+    got = {
+        (d["s"], d["v1"], d["v2"], d["v3"], d["v4"], d["v5"])
+        for d in (r.asDict() for r in out.collect())
+    }
+    assert got == {
+        (iri("s1"), '"A"', '"B"', None, None, None),
+        (iri("s2"), '"A"', None, None, None, None),
+    }
+
+
+def test_ask_keyword_anchored_past_prologue(spark, triples):
+    """A prologue IRI containing a word-bounded 'ask' (e.g.
+    <http://x/ask/>) must not be mistaken for the ASK keyword: the
+    rewrite splices at the query-form position after PREFIX/BASE
+    clauses (and after comments are stripped)."""
+    from morph_xr2rml_spark.sparql.endpoint import evaluate
+
+    q = (
+        "PREFIX ask: <http://x/ask/>\n"
+        "# a comment mentioning SELECT too\n"
+        "ASK { ?s ?p ?o }"
+    )
+    ctype, body = evaluate(triples, q)
+    assert '"boolean": true' in body
+
+    import json
+
+    ctype, body = evaluate(
+        triples,
+        "PREFIX ask: <http://x/ask/>\nASK { ?s <http://nope> ?o }",
+    )
+    assert json.loads(body)["boolean"] is False
+
+
+def test_endpoint_releases_per_request_checkpoints(spark, triples):
+    """A property-path closure answered over HTTP creates fixpoint
+    checkpoints; the endpoint must release THEM once the response is
+    serialized (long-lived-server disk hygiene) while leaving a
+    pre-existing registered checkpoint — the caller's own triple frame
+    here — intact and queryable."""
+    import json as _json
+    import os
+    import urllib.parse
+    import urllib.request
+
+    from morph_xr2rml_spark.plans import caching
+    from morph_xr2rml_spark.sparql.endpoint import SparqlEndpoint
+
+    caching.release_caches()
+    pinned = caching.checkpoint_parquet(triples, "endpoint_input_")
+    before = caching.live_checkpoints()
+    assert len(before) == 1
+
+    ep = SparqlEndpoint(pinned).start()
+    base = f"http://127.0.0.1:{ep.port}/sparql"
+    q = ('PREFIX ex: <http://example.org/> '
+         'SELECT ?n WHERE { <http://example.org/p/1> ex:knows+ ?y . ?y ex:name ?n }')
+    try:
+        for _ in range(2):  # second request proves the input survived
+            with urllib.request.urlopen(
+                base + "?query=" + urllib.parse.quote(q)
+            ) as r:
+                got = _json.loads(r.read())
+            names = {b["n"]["value"] for b in got["results"]["bindings"]}
+            assert names == {"bob", "carol"}
+            assert caching.live_checkpoints() == before
+            assert all(os.path.isdir(p) for p in before)
+    finally:
+        ep.stop()
+        caching.release_caches()
