@@ -2268,6 +2268,49 @@ WHERE event_type = 'purchase'
 """
 
 
+SPARQL_VIRTUAL_DESCRIBE = """
+PREFIX ex: <http://example.org/ontology#>
+DESCRIBE ?c WHERE { ?o ex:customer ?c . ?o ex:status "F" }
+"""
+
+
+def q_sparql_virtual_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase virtual DESCRIBE (reference expandDescribe,
+    MorphBaseQueryTranslator.scala:86-92): the WHERE evaluates in
+    rewriting mode, the matched customer nodes are collected (bounded),
+    and only mapping branches that can mention them compile — never the
+    full materialized graph. The description covers every triple with a
+    matched customer as subject (rdf:type, ex:name) or object (every
+    order's ex:customer arc, regardless of status)."""
+    from .sparql import VirtualGraph
+
+    catalog = (
+        SourceCatalog(spark)
+        .register("customer", _load(spark, sf_dir, "customer"),
+                  unique_key=["c_custkey"])
+        .register("orders", _load(spark, sf_dir, "orders"),
+                  unique_key=["o_orderkey"])
+    )
+    vg = VirtualGraph(spark, parse_mapping(ORDERS_TTL), catalog)
+    return vg.describe_where(SPARQL_VIRTUAL_DESCRIBE)
+
+
+SQL_SPARQL_VIRTUAL_DESCRIBE = f"""
+WITH fcust AS (
+    SELECT DISTINCT c_custkey, '<{EX}customer/' || c_custkey || '>' AS s,
+           c_name
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT DISTINCT subj, pred, obj FROM (
+    SELECT s AS subj, '{RDF_TYPE}' AS pred, '<{ONT}Customer>' AS obj FROM fcust
+    UNION ALL SELECT s, '<{ONT}name>', '"' || c_name || '"' FROM fcust
+    UNION ALL SELECT '<{EX}order/' || o_orderkey || '>', '<{ONT}customer>', s
+              FROM orders JOIN fcust ON o_custkey = c_custkey
+) t
+"""
+
+
 SPARQL_VIRTUAL_GRAPH = """
 PREFIX ex: <http://example.org/ontology#>
 SELECT ?n ?v WHERE { GRAPH ex:gNames { ?n ex:name ?v } }
@@ -2365,6 +2408,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_virtual_join": (q_sparql_virtual_join, SQL_SPARQL_VIRTUAL_JOIN),
     "sparql_virtual_const": (q_sparql_virtual_const, SQL_SPARQL_VIRTUAL_CONST),
     "sparql_virtual_graph": (q_sparql_virtual_graph, SQL_SPARQL_VIRTUAL_GRAPH),
+    "sparql_virtual_describe": (
+        q_sparql_virtual_describe, SQL_SPARQL_VIRTUAL_DESCRIBE,
+    ),
     "sparql_virtual_doc": (q_sparql_virtual_doc, SQL_SPARQL_VIRTUAL_DOC),
 }
 
