@@ -147,6 +147,41 @@ def serve_incremental(
     )
 
 
+def serve_virtual(
+    spark: SparkSession,
+    doc,
+    catalog_provider,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int = 10_000,
+):
+    """SPARQL endpoint in REWRITING mode over live source tables:
+    zero materialization lag, zero sink writes.
+
+    ``serve_incremental`` answers from the continuously-materializing
+    sink, so a query lags the sources by one foreachBatch round-trip.
+    This endpoint skips the sink entirely — each request builds a fresh
+    :class:`..sparql.virtual.VirtualGraph` over
+    ``catalog_provider()`` (a zero-arg callable returning a
+    ``SourceCatalog``; re-reading a parquet path there re-lists its
+    files), translates the query against the mapped sources (the
+    reference's per-request SparqlRestService -> runQuery rewriting
+    loop), and answers from whatever rows the sources hold RIGHT NOW —
+    a row appended to a source table is visible to the very next
+    request. The endpoint's per-request cache release reclaims each
+    request's compiler persists, so the per-request graphs don't
+    accumulate."""
+    from ..sparql.endpoint import SparqlEndpoint
+    from ..sparql.virtual import VirtualGraph
+
+    return SparqlEndpoint(
+        lambda: VirtualGraph(spark, doc, catalog_provider()),
+        host=host,
+        port=port,
+        max_rows=max_rows,
+    )
+
+
 def mention_rate_stream(
     docs_stream: DataFrame,
     aliases: DataFrame,

@@ -184,3 +184,71 @@ def test_incremental_sparql_endpoint(spark, docs, aliases, tmp_path_factory):
     finally:
         ep.stop()
         first.unpersist()
+
+
+def test_virtual_endpoint_sees_source_appends(spark, tmp_path_factory):
+    """Rewriting mode x live sources: the endpoint answers each request
+    by translating against the source tables directly — a row appended
+    to the source parquet is visible to the NEXT request, with no
+    materialization job and no sink write in between (verdict round-3
+    stretch: streaming x virtual)."""
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from morph_xr2rml_spark.mapping.parser import parse_mapping
+    from morph_xr2rml_spark.sources.catalog import SourceCatalog
+
+    ttl = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMItem>
+    xrr:logicalSource [ rr:tableName "items"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/item/{id}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:label;
+        rr:objectMap [ rr:column "label" ];
+    ];
+    .
+"""
+    src_dir = str(tmp_path_factory.mktemp("items_live"))
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id int, label string"
+    ).write.mode("overwrite").parquet(src_dir)
+
+    def catalog_provider():
+        # re-read per request: a fresh parquet scan re-lists the files
+        return SourceCatalog(spark).register(
+            "items", spark.read.parquet(src_dir), unique_key=["id"]
+        )
+
+    ep = incremental.serve_virtual(
+        spark, parse_mapping(ttl), catalog_provider
+    ).start()
+    try:
+        query = (
+            "PREFIX ex: <http://example.org/ontology#> "
+            "SELECT ?l WHERE { ?i ex:label ?l }"
+        )
+        url = (
+            f"http://127.0.0.1:{ep.port}/sparql?query="
+            + urllib.parse.quote(query)
+        )
+
+        def labels_now() -> set[str]:
+            with urllib.request.urlopen(url, timeout=120) as resp:
+                doc = json.loads(resp.read())
+            return {b["l"]["value"] for b in doc["results"]["bindings"]}
+
+        assert labels_now() == {"alpha", "beta"}
+
+        # a source-table append — NO materialization, NO sink write
+        spark.createDataFrame(
+            [(3, "gamma")], "id int, label string"
+        ).write.mode("append").parquet(src_dir)
+
+        assert labels_now() == {"alpha", "beta", "gamma"}  # same endpoint
+    finally:
+        ep.stop()
