@@ -47,6 +47,7 @@ from dataclasses import replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..compiler.compile import CompileOptions, MappingCompiler
 from ..functions import terms
@@ -480,13 +481,59 @@ def _single_column_template(term_map) -> str | None:
     return msp.referenced_column if msp.is_simple_column else None
 
 
+def _typed_key(value: str, dtype) -> object | None:
+    """The lexical ``value`` as a Python literal of the column's type,
+    or None when it cannot be a row's lexical form / the type needs the
+    lexical fallback. Comparing in the COLUMN's type (instead of
+    casting the column to string) is what lets the filter reach the
+    parquet scan as a PushedFilter — a column-side cast defeats
+    pushdown. The typed comparison is a SUPERSET of 'lexical form ==
+    value' for these types (their lex_value_col forms round-trip
+    through parsing); callers' exact residual / post-filters remove the
+    slack, so soundness needs only the superset direction."""
+    import decimal
+
+    try:
+        if isinstance(dtype, T.BooleanType):
+            return {"true": True, "false": False}.get(value)
+        if isinstance(
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return int(value)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(value)
+        if isinstance(dtype, T.DecimalType):
+            return decimal.Decimal(value)
+        if isinstance(dtype, T.StringType):
+            return value
+    except (ValueError, decimal.InvalidOperation, OverflowError):
+        return None
+    return None
+
+
+def _key_in_filter(col_name: str, dtype, values: list[str]) -> Column:
+    """Scan filter for 'the column's lexical form is one of values':
+    typed IN-list when the type allows (parquet-pushable), lexical
+    string comparison otherwise."""
+    if isinstance(
+        dtype,
+        (T.BooleanType, T.NumericType, T.StringType),
+    ):
+        typed = [t for t in (_typed_key(v, dtype) for v in values)
+                 if t is not None]
+        return F.col(col_name).isin(typed) if typed else F.lit(False)
+    lex = terms.lex_value_col(F.col(col_name), dtype)
+    return lex.isin(values) if values else F.lit(False)
+
+
 def _subject_pushdown(
     tm: TriplesMap, s: str, src: DataFrame, options: CompileOptions
 ) -> Column | None:
     """Catalyst filter implied by ``subj == s`` for every triple this
     map emits, or None. Only claimed when the template inversion is
-    provably exact: one group, encoding-invariant fixed parts, and a
-    recovered value on which percent-encoding is the identity."""
+    provably a superset: one group, encoding-invariant fixed parts, and
+    a recovered value on which percent-encoding is the identity; the
+    caller's exact residual makes the fragment tight."""
     if not s.startswith("<"):
         return None
     sm = tm.subject_map
@@ -502,7 +549,7 @@ def _subject_pushdown(
     if not _UNRESERVED.match(value):
         return None
     dtype = src.schema[col].dataType
-    return terms.lex_value_col(F.col(col), dtype) == F.lit(value)
+    return _key_in_filter(col, dtype, [value])
 
 
 def _object_pushdown(
@@ -524,7 +571,7 @@ def _object_pushdown(
     lit = parse_term(tp.o)
     raw = lit["value"]
     dtype = src.schema[om.column].dataType
-    return terms.lex_value_col(F.col(om.column), dtype) == F.lit(raw)
+    return _key_in_filter(om.column, dtype, [raw])
 
 
 def _simple_json_field(expr: str) -> str | None:
@@ -633,6 +680,80 @@ def _doc_object_pushdown(
         return None
     lit = parse_term(tp.o)
     return _doc_value_filter(doc, field, lit["value"])
+
+
+def _nodes_subject_pushdown(
+    tm: TriplesMap, nodes: list[str], src: DataFrame, options: CompileOptions
+) -> Column | None:
+    """Disjunctive twin of :func:`_subject_pushdown`: the source filter
+    implied by ``subj IN nodes``, or None when inversion is not provably
+    exact for every IRI node. Sound only for rows feeding SUBJECT
+    production — callers compile object-producing branches separately
+    and keep the exact subj/obj post-filter. At scale this is what
+    makes a k-node DESCRIBE scan O(k) source rows (key-level IN filter
+    at the parquet scan) instead of the full table."""
+    sm = tm.subject_map
+    if sm.infer_term_type() != terms.TERM_IRI:
+        return None
+    col = _single_column_template(sm)
+    if col is None or col not in src.columns:
+        return None
+    if not _template_invariant(sm.template):
+        return None
+    values: list[str] = []
+    for n in nodes:
+        if not n.startswith("<"):
+            continue  # an IRI-template subject never matches a bnode
+        match = get_template_matching(sm.template, n[1:-1])
+        if len(match) != 1:
+            continue  # provably never this map's subject
+        value = next(iter(match.values()))
+        if not _UNRESERVED.match(value):
+            return None  # inversion not provably exact: no filter
+        values.append(value)
+    dtype = src.schema[col].dataType
+    return _key_in_filter(col, dtype, values)
+
+
+def _doc_nodes_pushdown(
+    tm: TriplesMap, nodes: list[str], doc: Column, options: CompileOptions
+) -> Column | None:
+    """Document-source twin of :func:`_nodes_subject_pushdown`: OR of
+    per-node raw-document filters."""
+    sm = tm.subject_map
+    if sm.infer_term_type() != terms.TERM_IRI:
+        return None
+    if sm.kind != TEMPLATE or sm.ref_formulation != "JSONPath":
+        return None
+    if not _template_invariant(sm.template):
+        return None
+    groups = get_template_groups(sm.template)
+    if len(groups) != 1:
+        return None
+    field = _simple_json_field(groups[0])
+    if field is None:
+        return None
+    values: list[str] = []
+    for n in nodes:
+        if not n.startswith("<"):
+            continue
+        match = get_template_matching(sm.template, n[1:-1])
+        if len(match) != 1:
+            continue
+        value = next(iter(match.values()))
+        if not _UNRESERVED.match(value):
+            return None
+        values.append(value)
+    if not values:
+        return F.lit(False)
+    if len(values) > 64:
+        # each disjunct re-evaluates get_json_object per row; past a few
+        # dozen the OR-chain costs more than the full scan it avoids
+        return None
+    cond = _doc_value_filter(doc, field, values[0])
+    for value in values[1:]:
+        cond = cond | _doc_value_filter(doc, field, value)
+    return cond
 
 
 # ---------------------------------------------------------------------------
@@ -1031,6 +1152,7 @@ class VirtualGraph:
             )
         iris = [n for n in nodes if n.startswith("<")]
         has_bnode = any(n.startswith("_:") for n in nodes)
+        node_filter = F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
 
         def om_can_produce(om) -> bool:
             tt = om.infer_term_type()
@@ -1038,55 +1160,155 @@ class VirtualGraph:
                 return True
             return any(_iri_can_match(om, n, self.options) for n in iris)
 
+        def source_of(tm: TriplesMap) -> str | None:
+            ls = tm.logical_source
+            if ls.iterator:
+                return None
+            if ls.kind == "table":
+                return ls.value
+            m = _MONGO_FIND_RE.match(ls.value)
+            return m.group("collection") if m else None
+
+        def node_cond(tm: TriplesMap, table: str) -> Column | None:
+            """Source filter implied by 'this map's SUBJECT is in
+            nodes', when provably exact."""
+            if tm.logical_source.kind == "table":
+                try:
+                    src = self.catalog._table(table)
+                except Exception:  # noqa: BLE001 — unregistered
+                    return None
+                return _nodes_subject_pushdown(tm, nodes, src, self.options)
+            doc_col = self._doc_column(table)
+            if doc_col is None:
+                return None
+            return _doc_nodes_pushdown(tm, nodes, doc_col, self.options)
+
+        def object_branches(tm: TriplesMap) -> TriplesMap | None:
+            """The TM reduced to branches whose OBJECT can be a node."""
+            keep: list[PredicateObjectMap] = []
+            for pom in tm.predicate_object_maps:
+                if _pom_emits_collection(pom):
+                    # chain/connecting nodes are generated blank nodes;
+                    # rdf:first members can also be matched IRIs
+                    if has_bnode or any(
+                        om_can_produce(om) for om in pom.object_maps
+                    ):
+                        keep.append(pom)
+                    continue
+                oms = tuple(
+                    om for om in pom.object_maps if om_can_produce(om)
+                )
+                roms = tuple(
+                    rom
+                    for rom in pom.ref_object_maps
+                    if any(
+                        _subject_compatible(
+                            self.doc.triples_maps[rom.parent_triples_map],
+                            n,
+                            self.options,
+                        )
+                        for n in nodes
+                    )
+                )
+                if oms or roms:
+                    keep.append(
+                        replace(pom, object_maps=oms, ref_object_maps=roms)
+                    )
+            if not keep:
+                return None
+            return replace(
+                tm,
+                subject_map=replace(tm.subject_map, class_uris=()),
+                predicate_object_maps=tuple(keep),
+            )
+
+        def parent_filtered_catalog(pruned: TriplesMap) -> SourceCatalog:
+            """Catalog with each kept RefObjectMap's PARENT source
+            filtered to the node keys (the parent subject IS the
+            described object, so only key-matched parent rows can join
+            into a kept triple) — never the map's own source, whose
+            child rows are unconstrained."""
+            own = source_of(pruned)
+            # parent table -> pushdown conds (None poisons the table)
+            conds: dict[str, list[Column | None]] = {}
+            for pom in pruned.predicate_object_maps:
+                for rom in pom.ref_object_maps:
+                    ptm = self.doc.triples_maps[rom.parent_triples_map]
+                    ptable = source_of(ptm)
+                    if ptable is None or ptable == own:
+                        continue
+                    conds.setdefault(ptable, []).append(
+                        node_cond(ptm, ptable)
+                    )
+            cat = self.catalog
+            for ptable, cs in conds.items():
+                if any(c is None for c in cs):
+                    continue
+                cond = cs[0]
+                for c in cs[1:]:
+                    cond = cond | c
+                cat = (
+                    self._filtered_catalog(ptable, cond)
+                    if cat is self.catalog
+                    else _also_filter(cat, ptable, cond)
+                )
+            return cat
+
+        def _also_filter(
+            cat: SourceCatalog, table: str, cond: Column
+        ) -> SourceCatalog:
+            cat.tables[table] = cat._table(table).filter(cond)
+            return cat
+
         frames: list[DataFrame] = []
         for tm in self.doc.triples_maps.values():
             subj_ok = any(
                 _subject_compatible(tm, n, self.options) for n in nodes
             )
-            if subj_ok:
-                pruned = tm
-            else:
-                keep: list[PredicateObjectMap] = []
-                for pom in tm.predicate_object_maps:
-                    if _pom_emits_collection(pom):
-                        # connecting objects and chain subjects are
-                        # generated blank nodes
-                        if has_bnode:
-                            keep.append(pom)
-                        continue
-                    oms = tuple(
-                        om for om in pom.object_maps if om_can_produce(om)
-                    )
-                    roms = tuple(
-                        rom
-                        for rom in pom.ref_object_maps
-                        if any(
-                            _subject_compatible(
-                                self.doc.triples_maps[rom.parent_triples_map],
-                                n,
-                                self.options,
-                            )
-                            for n in nodes
-                        )
-                    )
-                    if oms or roms:
-                        keep.append(
-                            replace(pom, object_maps=oms, ref_object_maps=roms)
-                        )
-                if not keep:
+            if not subj_ok:
+                pruned = object_branches(tm)
+                if pruned is None:
                     continue
-                pruned = replace(
-                    tm,
-                    subject_map=replace(tm.subject_map, class_uris=()),
-                    predicate_object_maps=tuple(keep),
+                frame = self._compile_tm(
+                    tm.name, pruned, parent_filtered_catalog(pruned)
                 )
-            frame = self._compile_tm(tm.name, pruned, self.catalog)
+                if frame is not None:
+                    frames.append(frame.where(node_filter))
+                continue
+            # subject-compatible: push the inverted node keys into the
+            # map's own scan when provably exact — a k-node DESCRIBE
+            # then scans O(k) source rows, not the table. Blank nodes
+            # can't be inverted (content-derived), and a self-join ROM
+            # parent reading the same table must not be starved.
+            table = source_of(tm)
+            cond = (
+                node_cond(tm, table)
+                if table is not None and not has_bnode
+                else None
+            )
+            if cond is not None and self._rom_parent_reads(tm, table):
+                cond = None
+            if cond is None:
+                frame = self._compile_tm(tm.name, tm, self.catalog)
+                if frame is not None:
+                    frames.append(frame.where(node_filter))
+                continue
+            frame = self._compile_tm(
+                tm.name, tm, self._filtered_catalog(table, cond)
+            )
             if frame is not None:
-                frames.append(
-                    frame.where(
-                        F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
-                    )
+                frames.append(frame.where(node_filter))
+            # rows whose OBJECT is a node but whose subject is not were
+            # dropped by the subject-key scan filter: compile the
+            # object-producing branches separately (own scan unfiltered,
+            # parents key-filtered)
+            pruned = object_branches(tm)
+            if pruned is not None:
+                frame = self._compile_tm(
+                    tm.name, pruned, parent_filtered_catalog(pruned)
                 )
+                if frame is not None:
+                    frames.append(frame.where(F.col("obj").isin(nodes)))
         if not frames:
             return self.spark.createDataFrame(
                 [], "subj string, pred string, obj string"

@@ -1031,3 +1031,92 @@ def test_virtual_ask_keyword_anchored_past_prologue(setup, spark):
         assert vg.ask(q) is True
     finally:
         vg.release()
+
+
+def test_constant_pushdown_survives_to_parquet_scan(spark, tmp_path):
+    """The key filter compares in the COLUMN's type (dno = 1), not via a
+    column-side string cast — so it reaches the parquet reader as a
+    PushedFilter and a constant-subject query reads only matching row
+    groups at scale. The exact residual keeps the answer tight."""
+    import re as _re
+
+    spark.createDataFrame(
+        [(1, "Engineering"), (2, "Marketing")], "dno int, dname string"
+    ).write.parquet(str(tmp_path / "dept"))
+    spark.createDataFrame(
+        [(10, "alice", 120, 1)], "eid int, ename string, salary int, dno int"
+    ).write.parquet(str(tmp_path / "emp"))
+    doc = parse_mapping(TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", spark.read.parquet(str(tmp_path / "dept")),
+                  unique_key=["dno"])
+        .register("emp", spark.read.parquet(str(tmp_path / "emp")),
+                  unique_key=["eid"])
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(
+            PREFIX + "SELECT ?n WHERE { <http://example.org/dept/1> ex:deptName ?n }"
+        )
+        fmt = spark._sc._jvm.PythonSQLUtils.explainString(
+            frag._jdf.queryExecution(), "formatted"
+        )
+        pushed = [
+            ln for ln in fmt.splitlines() if "PushedFilters" in ln
+        ]
+        assert any(_re.search(r"(In|EqualTo)\(dno", ln) for ln in pushed), fmt
+        assert [r.obj for r in frag.collect()] == ['"Engineering"']
+    finally:
+        vg.release()
+
+
+def test_describe_nodes_pushdown_scans_keys(spark, tmp_path):
+    """Two-phase DESCRIBE pushes the inverted node keys into the
+    described map's own parquet scan AND into ROM parents' scans, so a
+    k-node description reads O(k) source rows."""
+    import re as _re
+
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    spark.createDataFrame(
+        [(1, "Engineering"), (2, "Marketing"), (3, "Legal")],
+        "dno int, dname string",
+    ).write.parquet(str(tmp_path / "dept"))
+    spark.createDataFrame(
+        [(10, "alice", 120, 1), (11, "bob", 95, 1), (12, "carol", 80, 2)],
+        "eid int, ename string, salary int, dno int",
+    ).write.parquet(str(tmp_path / "emp"))
+    doc = parse_mapping(TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", spark.read.parquet(str(tmp_path / "dept")),
+                  unique_key=["dno"])
+        .register("emp", spark.read.parquet(str(tmp_path / "emp")),
+                  unique_key=["eid"])
+    )
+    q = (
+        PREFIX
+        + "DESCRIBE ?d WHERE { ?e ex:dept ?d . ?e ex:salary ?s . FILTER(?s > 100) }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        out = vg.describe_where(q)
+        fmt = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        pushed = [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
+        # the dept scans (own subject scan + the ROM parent side) carry
+        # the node-key IN filter
+        assert any(_re.search(r"(In|EqualTo)\(dno", ln) for ln in pushed), fmt
+        # exact equivalence with materialize-then-describe
+        comp = MappingCompiler(spark, doc, catalog)
+        try:
+            want = {tuple(r) for r in sparql_describe_where(comp.triples(), q).collect()}
+        finally:
+            comp.release()
+        assert {tuple(r) for r in out.collect()} == want
+        assert ("<http://example.org/dept/1>",
+                '"Engineering"') in {(r[0], r[2]) for r in out.collect()}
+    finally:
+        vg.release()
