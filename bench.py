@@ -392,22 +392,34 @@ def scale_server(n: int) -> None:
 
 # disjoint pin ranges for the 1-, 4- and 8-core servers so an idle
 # sibling JVM's background threads never sit on a measuring level's
-# cores; the 32-core level necessarily spans the machine
+# cores; the 32-core level necessarily spans the machine. Levels are
+# measured in PAIRWISE phases (see run_scaling) because only the two
+# sides of one efficiency ratio need to share steal phases — and a
+# four-server fleet measurably crowds the small levels (an idle
+# 32-core-pinned JVM's background threads inflated the 1-core level
+# ~40% over its solo floor, pushing the 1->4 ratio past 1.0).
 _PIN_RANGES = {1: "0", 2: "0-1", 4: "1-4", 8: "5-12", 32: "0-31"}
 
+# the N->4N pairs actually reported: the primary kernel-clean pair and
+# the full-machine pair (kernel-bound above ~8 threads; see BASELINE.md)
+SCALE_PAIRS = ((1, 4), (8, 32))
 
-def run_scaling() -> dict[str, object]:
-    """Interleaved 1 / 4 / 8 / 32 measurement (round-3 verdict fix #3):
-    one server process per level, repeats taken round-robin
-    (n2_i, n8_i, n32_i adjacent in time), so steal phases hit every
-    level of a round equally. Efficiency uses per-level steady-state
-    floors across the same wall window; the per-round matched-pair
-    ratios are recorded as evidence of phase-fairness."""
+
+def _run_scale_pair(
+    pair: tuple[int, int], budget: float, min_rounds: int
+) -> tuple[dict[int, float], list[float], int]:
+    """Interleaved measurement of ONE (N, 4N) pair: a server process
+    per level, repeats taken round-robin (nN_i and n4N_i adjacent in
+    time) so hypervisor-steal phases hit both sides of the ratio
+    equally (round-3 verdict fix #3). Only the pair's two processes are
+    alive, on disjoint pin ranges where possible, so neither side is
+    crowded by idle sibling JVMs. Returns (floors, per-round pair
+    ratios, triples)."""
     import shutil
     import subprocess
 
     procs: dict[int, subprocess.Popen] = {}
-    for n in SCALE_LEVELS:
+    for n in pair:
         cmd = [sys.executable, os.path.abspath(__file__), f"--scale-server={n}"]
         if shutil.which("taskset"):
             # pin the whole process tree (JVM GC/JIT threads + Python
@@ -430,27 +442,24 @@ def run_scaling() -> dict[str, object]:
                 return s[len(prefix):].strip()
         raise RuntimeError(f"scale server exited before '{prefix}'")
 
+    rounds: list[dict[int, dict]] = []
     try:
         # servers warm up / build input concurrently (all untimed)
-        for n in SCALE_LEVELS:
+        for n in pair:
             _read_until(procs[n], "SCALE_READY")
-
-        budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
-        min_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
-        rounds: list[dict[int, dict]] = []
         t_start = time.time()
         while len(rounds) < min_rounds or (
             time.time() - t_start < budget and len(rounds) < 12
         ):
             rec: dict[int, dict] = {}
-            for n in SCALE_LEVELS:  # strictly serialized within a round
+            for n in pair:  # strictly serialized within a round
                 procs[n].stdin.write("go\n")
                 procs[n].stdin.flush()
                 rec[n] = json.loads(_read_until(procs[n], "SCALE_RESULT "))
             rounds.append(rec)
             print(
-                f"[scale round {len(rounds)}] "
-                + " ".join(f"n{n}={rec[n]['dt']:.2f}s" for n in SCALE_LEVELS),
+                f"[scale pair {pair[0]}->{pair[1]} round {len(rounds)}] "
+                + " ".join(f"n{n}={rec[n]['dt']:.2f}s" for n in pair),
                 file=sys.stderr,
             )
     finally:
@@ -466,21 +475,39 @@ def run_scaling() -> dict[str, object]:
             except Exception:
                 p.kill()
 
-    counts = {r[n]["triples"] for r in rounds for n in SCALE_LEVELS}
+    counts = {r[n]["triples"] for r in rounds for n in pair}
     assert len(counts) == 1, "scaling runs must produce identical output"
-    triples = rounds[0][SCALE_LEVELS[0]]["triples"]
-    out: dict[str, object] = {"triples": triples, "rounds": len(rounds)}
-    best = {n: min(r[n]["dt"] for r in rounds) for n in SCALE_LEVELS}
-    for n in SCALE_LEVELS:
-        out[f"n{n}_seconds"] = round(best[n], 2)
-        out[f"n{n}_triples_per_sec"] = round(triples / best[n], 1)
-    pairs_14 = [round(r[1]["dt"] / r[4]["dt"] / 4.0, 3) for r in rounds]
-    pairs_832 = [round(r[8]["dt"] / r[32]["dt"] / 4.0, 3) for r in rounds]
-    out["efficiency_1_to_4"] = round(best[1] / best[4] / 4.0, 3)
-    out["efficiency_8_to_32"] = round(best[8] / best[32] / 4.0, 3)
-    out["efficiency_1_to_4_pairs"] = pairs_14
-    out["efficiency_8_to_32_pairs"] = pairs_832
-    out["efficiency"] = out["efficiency_1_to_4"]  # the N->4N criterion
+    triples = rounds[0][pair[0]]["triples"]
+    floors = {n: min(r[n]["dt"] for r in rounds) for n in pair}
+    ratios = [
+        round(r[pair[0]]["dt"] / r[pair[1]]["dt"] / 4.0, 3) for r in rounds
+    ]
+    return floors, ratios, triples
+
+
+def run_scaling() -> dict[str, object]:
+    """Pairwise-interleaved N -> 4N measurement over SCALE_PAIRS.
+    Efficiency uses per-level steady-state floors across the pair's
+    shared wall window; the per-round matched-pair ratios are recorded
+    as evidence of phase-fairness."""
+    budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "600"))
+    min_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
+    out: dict[str, object] = {}
+    triples = 0
+    for pair in SCALE_PAIRS:
+        floors, ratios, triples = _run_scale_pair(
+            pair, budget / len(SCALE_PAIRS), min_rounds
+        )
+        for n in pair:
+            out[f"n{n}_seconds"] = round(floors[n], 2)
+            out[f"n{n}_triples_per_sec"] = round(triples / floors[n], 1)
+        key = f"efficiency_{pair[0]}_to_{pair[1]}"
+        out[key] = round(floors[pair[0]] / floors[pair[1]] / 4.0, 3)
+        out[key + "_pairs"] = ratios
+        out[key + "_rounds"] = len(ratios)
+    out["triples"] = triples
+    p0 = SCALE_PAIRS[0]
+    out["efficiency"] = out[f"efficiency_{p0[0]}_to_{p0[1]}"]  # N->4N criterion
     return out
 
 
@@ -492,6 +519,9 @@ def main() -> None:
         if arg.startswith("--scale-server="):
             scale_server(int(arg.split("=")[1]))
             return
+    if "--scaling-only" in sys.argv:
+        print(json.dumps({"scaling": run_scaling()}))
+        return
     do_scaling = "--no-scaling" not in sys.argv
     do_sf_scaling = "--no-sf-scaling" not in sys.argv
     spark = build_session(
