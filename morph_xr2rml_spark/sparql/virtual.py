@@ -1155,6 +1155,15 @@ class VirtualGraph:
         node_filter = F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
 
         def om_can_produce(om) -> bool:
+            if om.is_collection:
+                # the chain/connecting nodes are generated blank nodes;
+                # the rdf:first members follow the nested term map
+                if has_bnode:
+                    return True
+                member_tt, _d, _l = om.member_term_info()
+                return bool(iris) and member_tt not in (
+                    terms.TERM_LITERAL, terms.TERM_BLANKNODE
+                )
             tt = om.infer_term_type()
             if has_bnode and tt == terms.TERM_BLANKNODE:
                 return True
@@ -1190,9 +1199,7 @@ class VirtualGraph:
                 if _pom_emits_collection(pom):
                     # chain/connecting nodes are generated blank nodes;
                     # rdf:first members can also be matched IRIs
-                    if has_bnode or any(
-                        om_can_produce(om) for om in pom.object_maps
-                    ):
+                    if any(om_can_produce(om) for om in pom.object_maps):
                         keep.append(pom)
                     continue
                 oms = tuple(

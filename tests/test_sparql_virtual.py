@@ -1120,3 +1120,68 @@ def test_describe_nodes_pushdown_scans_keys(spark, tmp_path):
                 '"Engineering"') in {(r[0], r[2]) for r in out.collect()}
     finally:
         vg.release()
+
+
+TEAM_TTL = TTL + """\
+
+<#TMTeam>
+    xrr:logicalSource [ rr:tableName "team"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/team/{tid}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:members;
+        rr:objectMap [
+            xrr:reference "Column(members)/JSONPath($.*)";
+            rr:termType xrr:RdfList;
+            xrr:nestedTermMap [ rr:termType rr:IRI ];
+        ];
+    ];
+    .
+"""
+
+
+def test_describe_includes_collection_member_arcs(spark):
+    """A described node that appears as an rdf:first MEMBER of another
+    map's RDF list must surface that membership arc: the collection POM
+    joins the object branches whenever its members' term type can be an
+    IRI (previously only blank-node describes kept collection POMs, so
+    IRI-membered lists silently vanished from two-phase DESCRIBE)."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    dept = spark.createDataFrame(
+        [(1, "Engineering")], "dno int, dname string"
+    )
+    emp = spark.createDataFrame(
+        [(10, "alice", 120, 1), (11, "bob", 95, 1)],
+        "eid int, ename string, salary int, dno int",
+    )
+    team = spark.createDataFrame(
+        [(7, '["http://example.org/emp/10", "http://example.org/emp/11"]')],
+        "tid int, members string",
+    )
+    doc = parse_mapping(TEAM_TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", dept, unique_key=["dno"])
+        .register("emp", emp, unique_key=["eid"])
+        .register("team", team, unique_key=["tid"])
+    )
+    q = PREFIX + "DESCRIBE ?e WHERE { ?e ex:salary ?s . FILTER(?s > 100) }"
+    vg = VirtualGraph(spark, doc, catalog)
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        got = {tuple(r) for r in vg.describe_where(q).collect()}
+        want = {
+            tuple(r)
+            for r in sparql_describe_where(comp.triples(), q).collect()
+        }
+        assert got == want
+        # the membership arc itself: some chain bnode rdf:first alice
+        first = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+        assert any(
+            p == first and o == "<http://example.org/emp/10>"
+            and s.startswith("_:")
+            for s, p, o in got
+        ), got
+    finally:
+        comp.release()
+        vg.release()
