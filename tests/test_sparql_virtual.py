@@ -1185,3 +1185,79 @@ def test_describe_includes_collection_member_arcs(spark):
     finally:
         comp.release()
         vg.release()
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    emp_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.sampled_from(_NAMES),
+            st.integers(min_value=0, max_value=150),
+            st.integers(min_value=1, max_value=4),
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: r[0],
+    ),
+    dept_rows=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4), st.sampled_from(_NAMES)),
+        min_size=0,
+        max_size=4,
+        unique_by=lambda r: r[0],
+    ),
+    salary_cut=st.integers(min_value=0, max_value=150),
+    which=st.integers(min_value=0, max_value=1),
+    max_nodes=st.sampled_from([1, 10_000]),
+)
+def _describe_differential(
+    spark, emp_rows, dept_rows, salary_cut, which, max_nodes
+):
+    """Two-phase virtual DESCRIBE == materialize-then-describe on
+    randomized sources, over a mapping with a RefObjectMap AND an
+    IRI-membered RDF list (emp IRIs as rdf:first members), at both the
+    two-phase path and the forced bounded fallback (max_nodes=1)."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    emp = spark.createDataFrame(
+        emp_rows or [(None, None, None, None)],
+        "eid int, ename string, salary int, dno int",
+    )
+    if not emp_rows:
+        emp = emp.where("eid IS NOT NULL")
+    dept = spark.createDataFrame(
+        dept_rows or [(None, None)], "dno int, dname string"
+    )
+    if not dept_rows:
+        dept = dept.where("dno IS NOT NULL")
+    team = spark.createDataFrame(
+        [(7, '["http://example.org/emp/1", "http://example.org/emp/2"]'),
+         (8, '["http://example.org/emp/3"]')],
+        "tid int, members string",
+    )
+    doc = parse_mapping(TEAM_TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", dept)
+        .register("emp", emp)
+        .register("team", team)
+    )
+    q = PREFIX + (
+        f"DESCRIBE ?e WHERE {{ ?e ex:salary ?s . FILTER(?s > {salary_cut}) }}"
+        if which == 0
+        else f"DESCRIBE ?d WHERE {{ ?e ex:dept ?d . ?e ex:salary ?s . "
+        f"FILTER(?s > {salary_cut}) }}"
+    )
+    comp = MappingCompiler(spark, doc, catalog)
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.describe_where(q, max_nodes=max_nodes))
+        want = _rows(sparql_describe_where(comp.triples(), q))
+        assert got == want, f"q: {q}\nemp: {emp_rows}\ndept: {dept_rows}"
+    finally:
+        comp.release()
+        vg.release()
+
+
+def test_differential_virtual_describe(spark):
+    _describe_differential(spark)
