@@ -881,12 +881,17 @@ class VirtualGraph:
         a subset of ``MappingCompiler.triples()`` sufficient to answer
         the query exactly.
 
-        Patterns that bind the same triples map without a
-        pattern-specific source filter share ONE compilation of the
+        Patterns that bind the same triples map without an
+        inverted-constant scan filter share ONE compilation of the
         union of their prunings (persisted, so the source is scanned
         once and each pattern's residual reads the cached fragment) —
         the rewriting-mode twin of the reference's self-join
-        elimination over a shared logical-source query.
+        elimination over a shared logical-source query. Filtered
+        bindings compile individually for TABLE sources (a key-pruned
+        parquet scan is near-free) but fold into the shared compile for
+        DOCUMENT sources when an unfiltered binding forces the full
+        JSON parse anyway (the parse dominates; see the source-kind
+        A/B note at the compile-decision site below).
 
         View selection mirrors materialize-then-query usage: a query
         with no GRAPH pattern runs over the merged-triples view
@@ -898,7 +903,12 @@ class VirtualGraph:
         dataset = bool(q.from_graphs or q.from_named)
         quads = dataset or self._has_graphs(q.where)
         frames: list[DataFrame] = []
-        shared: dict[str, list[tuple[TriplePattern, object, tuple]]] = {}
+        # tm name -> [(pattern, graph ctx, pruning detail, scan cond)]
+        collected: dict[
+            str, list[tuple[TriplePattern, object, tuple, Column | None]]
+        ] = {}
+        conds_by_tm: dict[str, list[Column | None]] = {}
+        tables: dict[str, str] = {}
         for gctx, tp in collect_patterns_g(q.where):
             if not quads:
                 gctx = _ANY_GRAPH
@@ -954,34 +964,59 @@ class VirtualGraph:
                     # subject constraint) — keep such maps unfiltered
                     if cond is not None and self._rom_parent_reads(pruned, table):
                         cond = None
-                if cond is not None:
-                    frame = self._compile_tm(
-                        tm.name,
-                        pruned,
-                        self._filtered_catalog(table, cond),
-                        quads=quads,
-                    )
-                    if frame is not None:
-                        frames.append(self._residual(frame, tp, gctx))
-                else:
-                    shared.setdefault(tm.name, []).append((tp, gctx, detail))
-        for tm_name, entries in shared.items():
+                collected.setdefault(tm.name, []).append((tp, gctx, detail, cond))
+                conds_by_tm.setdefault(tm.name, []).append(cond)
+                if table is not None:
+                    tables[tm.name] = table
+        for tm_name, entries in collected.items():
             tm = self.doc.triples_maps[tm_name]
-            if len(entries) == 1:
-                tp, gctx, detail = entries[0]
+            conds = conds_by_tm[tm_name]
+            # Which entries compile individually with their scan filter,
+            # and which fold into one shared compile? Source-kind-aware
+            # (measured A/B at sf0.01, warm):
+            # - TABLE sources: a filtered branch is a near-free
+            #   key-pruned parquet scan (typed PushedFilters), so
+            #   filtered branches always compile individually and only
+            #   the unfiltered ones share (folding everything regressed
+            #   the describe/join entries ~30%).
+            # - DOCUMENT sources: every branch re-parses the raw JSON,
+            #   which dominates — when an unfiltered binding forces the
+            #   full parse anyway, filtered branches fold into the one
+            #   shared compile instead of parsing the collection twice
+            #   (measured 3.2s -> 2.0s on the find()-source entry).
+            if tm.logical_source.kind == "table":
+                filtered = [e for e in entries if e[3] is not None]
+                shared = [e for e in entries if e[3] is None]
+            elif all(c is not None for c in conds):
+                filtered, shared = entries, []
+            else:
+                filtered, shared = [], entries
+            for tp, gctx, detail, cond in filtered:
+                frame = self._compile_tm(
+                    tm_name,
+                    _detail_to_tm(tm, detail),
+                    self._filtered_catalog(tables[tm_name], cond),
+                    quads=quads,
+                )
+                if frame is not None:
+                    frames.append(self._residual(frame, tp, gctx))
+            if not shared:
+                continue
+            if len(shared) == 1:
+                tp, gctx, detail, _cond = shared[0]
                 frame = self._compile_tm(
                     tm_name, _detail_to_tm(tm, detail), self.catalog, quads=quads
                 )
                 if frame is not None:
                     frames.append(self._residual(frame, tp, gctx))
                 continue
-            merged = _merge_details(tm, [d for _tp, _g, d in entries])
+            merged = _merge_details(tm, [d for _tp, _g, d, _c in shared])
             base = self._compile_tm(tm_name, merged, self.catalog, quads=quads)
             if base is None:
                 continue
             base = base.persist()
             self._persisted.append(base)
-            for tp, gctx, _d in entries:
+            for tp, gctx, _d, _c in shared:
                 frames.append(self._residual(base, tp, gctx))
         if not frames:
             schema = "subj string, pred string, obj string"
