@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 
 from ..plans import caching
 from .bgp import (
+    parse_sparql,
     query_form,
     sparql_construct,
     sparql_describe,
@@ -42,7 +43,12 @@ _request_lock = threading.Lock()
 
 
 def evaluate(
-    triples, query: str, accept: str = "", max_rows: int = 10_000
+    triples,
+    query: str,
+    accept: str = "",
+    max_rows: int = 10_000,
+    default_graphs: tuple[str, ...] = (),
+    named_graphs: tuple[str, ...] = (),
 ) -> tuple[str, str]:
     """-> (content_type, body) for one SPARQL protocol request.
 
@@ -51,18 +57,55 @@ def evaluate(
     is answered in the reference's rewriting mode (per-request
     translation against the mapped sources, SparqlRestService ->
     MorphBaseRunner.runQuery:57-107) instead of from a materialized
-    table."""
+    table.
+
+    ``default_graphs`` / ``named_graphs`` are the SPARQL protocol's
+    RDF-dataset parameters (``default-graph-uri`` / ``named-graph-uri``,
+    protocol §2.1.4), honored for SELECT and ASK as if the query had
+    written the equivalent FROM / FROM NAMED clauses. Supplying them
+    together with in-query dataset clauses is an error (the protocol
+    allows either refusal or override; refusal is unambiguous), as is
+    supplying them on CONSTRUCT/DESCRIBE (unsupported here). The
+    reference's service accepts these parameters but silently ignores
+    them (SparqlRestService.scala:51-52,90-91); honoring them is an
+    intentional superset."""
     virtual = hasattr(triples, "fragment")
     form, _text, _s, _e = query_form(query)
     want_xml = any(t in accept for t in _XML_TYPES)
+    has_dataset = bool(default_graphs or named_graphs)
+
+    def _with_dataset(body: str):
+        q = parse_sparql(body)
+        if q.from_graphs or q.from_named:
+            raise ValueError(
+                "dataset supplied both in the query (FROM/FROM NAMED) "
+                "and as protocol parameters"
+            )
+        q.from_graphs = [f"<{g.strip('<>')}>" for g in default_graphs]
+        q.from_named = [f"<{g.strip('<>')}>" for g in named_graphs]
+        return q
+
+    if has_dataset and form in ("CONSTRUCT", "DESCRIBE"):
+        raise ValueError(
+            "protocol dataset parameters are not supported for "
+            "CONSTRUCT/DESCRIBE; use FROM / FROM NAMED in the query"
+        )
     if form == "ASK":
         # strip the ASK keyword into a SELECT * / LIMIT 1 existence
         # probe — spliced at the anchored query-form position, so an
         # IRI containing a word-bounded 'ask' in a PREFIX line is safe
         body = _text[:_s] + "SELECT *" + _text[_e:]
-        result = (
-            triples.ask(query) if virtual else ask(sparql_select(triples, body))
-        )
+        if has_dataset:
+            q = _with_dataset(body)
+            q.limit = 1
+            probe = triples.select(q) if virtual else sparql_select(triples, q)
+            result = bool(probe.take(1))
+        else:
+            result = (
+                triples.ask(query)
+                if virtual
+                else ask(sparql_select(triples, body))
+            )
         if want_xml:
             return (
                 "application/sparql-results+xml",
@@ -96,7 +139,8 @@ def evaluate(
         rows = out.limit(max_rows).collect()
         nt = "".join(f"{r['subj']} {r['pred']} {r['obj']} .\n" for r in rows)
         return ("application/n-triples", nt)
-    df = triples.select(query) if virtual else sparql_select(triples, query)
+    q = _with_dataset(query) if has_dataset else query
+    df = triples.select(q) if virtual else sparql_select(triples, q)
     if want_xml:
         return ("application/sparql-results+xml", to_sparql_xml(df, max_rows))
     return ("application/sparql-results+json", to_sparql_json(df, max_rows))
@@ -135,7 +179,12 @@ class SparqlEndpoint:
                 self.end_headers()
                 self.wfile.write(data)
 
-            def _run(self, query: str | None) -> None:
+            def _run(
+                self,
+                query: str | None,
+                default_graphs: tuple[str, ...] = (),
+                named_graphs: tuple[str, ...] = (),
+            ) -> None:
                 if not query:
                     self._respond(400, "text/plain", "missing 'query' parameter")
                     return
@@ -155,6 +204,8 @@ class SparqlEndpoint:
                                 endpoint.triples, query,
                                 self.headers.get("Accept", ""),
                                 endpoint.max_rows,
+                                default_graphs=default_graphs,
+                                named_graphs=named_graphs,
                             )  # .triples resolves a provider per request
                         finally:
                             caching.release_since(mark)
@@ -163,14 +214,23 @@ class SparqlEndpoint:
                     return
                 self._respond(200, ctype, body)
 
+            @staticmethod
+            def _dataset_params(params) -> tuple[tuple, tuple]:
+                # SPARQL protocol RDF-dataset parameters (SS2.1.4)
+                return (
+                    tuple(params.get("default-graph-uri", ())),
+                    tuple(params.get("named-graph-uri", ())),
+                )
+
             def do_GET(self) -> None:  # noqa: N802
                 url = urlsplit(self.path)
                 if url.path.rstrip("/").endswith("/test"):
                     self._respond(200, "text/plain",
                                   "SPARQL REST service is up and running")
                     return
-                q = parse_qs(url.query).get("query", [None])[0]
-                self._run(q)
+                params = parse_qs(url.query)
+                dg, ng = self._dataset_params(params)
+                self._run(params.get("query", [None])[0], dg, ng)
 
             def do_POST(self) -> None:  # noqa: N802
                 length = int(self.headers.get("Content-Length", "0"))
@@ -178,9 +238,15 @@ class SparqlEndpoint:
                 ctype = self.headers.get("Content-Type", "")
                 if "application/sparql-query" in ctype:
                     q: str | None = raw
+                    # dataset params ride the request URI for this form
+                    dg, ng = self._dataset_params(
+                        parse_qs(urlsplit(self.path).query)
+                    )
                 else:  # application/x-www-form-urlencoded
-                    q = parse_qs(raw).get("query", [None])[0]
-                self._run(q)
+                    params = parse_qs(raw)
+                    q = params.get("query", [None])[0]
+                    dg, ng = self._dataset_params(params)
+                self._run(q, dg, ng)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None

@@ -1401,3 +1401,92 @@ def test_endpoint_releases_per_request_checkpoints(spark, triples):
     finally:
         ep.stop()
         caching.release_caches()
+
+
+def test_protocol_dataset_parameters(spark):
+    """SPARQL protocol RDF-dataset parameters (default-graph-uri /
+    named-graph-uri, protocol S2.1.4) act exactly like the equivalent
+    FROM / FROM NAMED clauses for SELECT and ASK; supplying a dataset
+    both ways, or on CONSTRUCT/DESCRIBE, is refused. The reference's
+    service accepts these parameters but silently ignores them
+    (SparqlRestService.scala:51-52,90-91) — honoring them is a
+    deliberate superset."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    import pytest as _pytest
+
+    from morph_xr2rml_spark.sparql.endpoint import SparqlEndpoint, evaluate
+
+    EXO = "http://example.org/"
+    quads = spark.createDataFrame(
+        [
+            (f"<{EXO}n1>", f"<{EXO}name>", '"alpha"', f"<{EXO}g1>"),
+            (f"<{EXO}n2>", f"<{EXO}name>", '"beta"', f"<{EXO}g2>"),
+            (f"<{EXO}n3>", f"<{EXO}name>", '"gamma"', None),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    q = f"SELECT ?n WHERE {{ ?s <{EXO}name> ?n }}"
+
+    def names(body: str) -> set[str]:
+        return {
+            b["n"]["value"]
+            for b in _json.loads(body)["results"]["bindings"]
+        }
+
+    # protocol default graph == FROM
+    _ct, body = evaluate(quads, q, default_graphs=(f"{EXO}g1",))
+    assert names(body) == {"alpha"}
+    _ct, body = evaluate(quads, q, default_graphs=(f"{EXO}g1", f"{EXO}g2"))
+    assert names(body) == {"alpha", "beta"}
+    # named graphs restrict GRAPH ?g
+    gq = f"SELECT ?n WHERE {{ GRAPH ?g {{ ?s <{EXO}name> ?n }} }}"
+    _ct, body = evaluate(quads, gq, named_graphs=(f"{EXO}g2",))
+    assert names(body) == {"beta"}
+    # ASK honors the dataset
+    _ct, body = evaluate(
+        quads, f"ASK {{ ?s <{EXO}name> ?n }}", default_graphs=(f"{EXO}g1",)
+    )
+    assert _json.loads(body)["boolean"] is True
+    _ct, body = evaluate(
+        quads,
+        f'ASK {{ ?s <{EXO}name> "beta" }}',
+        default_graphs=(f"{EXO}g1",),
+    )
+    assert _json.loads(body)["boolean"] is False
+    # both in-query and protocol dataset -> refusal
+    with _pytest.raises(ValueError, match="both"):
+        evaluate(
+            quads,
+            f"SELECT ?n FROM <{EXO}g2> WHERE {{ ?s <{EXO}name> ?n }}",
+            default_graphs=(f"{EXO}g1",),
+        )
+    # unsupported form -> refusal
+    with _pytest.raises(ValueError, match="not supported"):
+        evaluate(
+            quads,
+            f"DESCRIBE <{EXO}n1>",
+            default_graphs=(f"{EXO}g1",),
+        )
+
+    # over HTTP: GET and urlencoded POST both carry the parameters
+    ep = SparqlEndpoint(quads).start()
+    base = f"http://127.0.0.1:{ep.port}/sparql"
+    try:
+        url = (
+            base
+            + "?query=" + urllib.parse.quote(q)
+            + "&default-graph-uri=" + urllib.parse.quote(f"{EXO}g2")
+        )
+        with urllib.request.urlopen(url) as r:
+            assert names(r.read().decode()) == {"beta"}
+        data = urllib.parse.urlencode(
+            {"query": q, "default-graph-uri": f"{EXO}g1"}
+        ).encode()
+        req = urllib.request.Request(base, data=data)
+        with urllib.request.urlopen(req) as r:
+            assert names(r.read().decode()) == {"alpha"}
+    finally:
+        ep.stop()
