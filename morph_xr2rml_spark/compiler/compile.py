@@ -171,6 +171,17 @@ class CompileOptions:
     # MorphRDBUnfolder.scala:328-346; SQLQuery.setSlice/setOffset)
     limits: dict[str, int] = field(default_factory=dict)
     offsets: dict[str, int] = field(default_factory=dict)
+    # §4.1 "Constant Projection" aka "Projection Pushing"
+    # (MorphBaseQueryTranslator.allVarsProjectedAsConstantTermMaps
+    # :398-470, part of querytranslator.sparql.optimize): a virtual-mode
+    # SELECT DISTINCT whose projected variable is matched ONLY by
+    # constant term maps answers from the MAPPING alone (a VALUES list)
+    # — the schema-exploration query `SELECT DISTINCT ?p {?s ?p ?o}`
+    # never touches the sources. Like the reference's rewrite, this
+    # assumes every bound map's source is non-empty (a constant from an
+    # empty-source map is still listed), so it is opt-in here while the
+    # reference bundles it into its default-on optimizer flag.
+    constant_projection: bool = False
 
 
 @dataclass

@@ -682,6 +682,56 @@ def _doc_object_pushdown(
     return _doc_value_filter(doc, field, lit["value"])
 
 
+def _constant_terms_at(
+    tm: TriplesMap, pos: str, options: CompileOptions
+) -> set[str] | None:
+    """Every term the pruned map can emit at position ``pos`` ('s'/'p'/
+    'o'), when ALL of them are constants; None as soon as any is
+    data-dependent (the constant-projection rewrite then bails).
+    rr:class emits constant rdf:type/class terms; RdfList collections
+    emit constant rdf:first/rdf:rest predicates but generated chain
+    bnodes as objects; containers emit data-dependent rdf:_n
+    predicates."""
+    out: set[str] = set()
+    sm = tm.subject_map
+    if pos == "s":
+        if sm.kind != CONSTANT or sm.infer_term_type() != terms.TERM_IRI:
+            return None
+        out.add(_constant_term(sm, options))
+        return out
+    if pos == "p":
+        if sm.class_uris:
+            out.add(f"<{terms.RDF_TYPE}>")
+        for pom in tm.predicate_object_maps:
+            has_list = False
+            for om in pom.object_maps:
+                ctt = om.collection_term_type()
+                if ctt is None:
+                    continue
+                if ctt == terms.TERM_RDFLIST:
+                    has_list = True
+                else:
+                    return None  # containers: rdf:_1, rdf:_2, ... per row
+            if has_list:
+                out.add(f"<{terms.RDF_FIRST}>")
+                out.add(f"<{terms.RDF_REST}>")
+            for pm in pom.predicate_maps:
+                if pm.kind != CONSTANT:
+                    return None
+                out.add(_constant_term(pm, options))
+        return out
+    for cls in sm.class_uris:
+        out.add(terms.make_iri(cls, False))
+    for pom in tm.predicate_object_maps:
+        if pom.ref_object_maps:
+            return None  # parent subjects are data-dependent
+        for om in pom.object_maps:
+            if om.is_collection or om.kind != CONSTANT:
+                return None  # chain heads are generated bnodes
+            out.add(_constant_term(om, options))
+    return out
+
+
 def _nodes_subject_pushdown(
     tm: TriplesMap, nodes: list[str], src: DataFrame, options: CompileOptions
 ) -> Column | None:
@@ -1034,7 +1084,74 @@ class VirtualGraph:
 
     def select(self, query: str | SelectQuery) -> DataFrame:
         q = parse_sparql(query) if isinstance(query, str) else query
+        cp = self._constant_projection(q)
+        if cp is not None:
+            return cp
         return sparql_select(self.fragment(q), q)
+
+    def _constant_projection(self, q: SelectQuery) -> DataFrame | None:
+        """§4.1 Constant Projection / Projection Pushing
+        (allVarsProjectedAsConstantTermMaps,
+        MorphBaseQueryTranslator.scala:398-470): a schema-exploration
+        query like ``SELECT DISTINCT ?p WHERE { ?s ?p ?o } LIMIT 100``
+        whose projected variable is matched only by CONSTANT term maps
+        answers from the mapping alone — a literal VALUES frame, no
+        source scan at all (the naive plan is a union of every triples
+        map). None when the rewrite does not apply; opt-in via
+        ``CompileOptions.constant_projection`` (see the option's note on
+        the reference's non-empty-source assumption, which this rewrite
+        shares)."""
+        if not (self.options.constant_projection and q.distinct):
+            return None
+        if len(q.variables) != 1:
+            return None
+        if q.aggregates or q.group_by or q.having is not None or q.order_by:
+            return None
+        if q.from_graphs or q.from_named:
+            return None
+        w = q.where
+        if (
+            w.optionals or w.filters or w.unions or w.graphs or w.binds
+            or w.values or w.exists or w.minuses or w.subselects
+        ):
+            return None
+        var = "?" + q.variables[0]
+        consts: set[str] = set()
+        bound = False
+        for tp in w.patterns:
+            if isinstance(tp.p, Path):
+                return None
+            positions = [
+                pos
+                for pos, t in (("s", tp.s), ("p", tp.p), ("o", tp.o))
+                if t == var
+            ]
+            if not positions:
+                continue
+            bound = True
+            for tm in self.doc.triples_maps.values():
+                detail = _bind_detail(tm, tp, self.options, _ANY_GRAPH)
+                if detail is None:
+                    continue
+                pruned = _detail_to_tm(tm, detail)
+                for pos in positions:
+                    got = _constant_terms_at(pruned, pos, self.options)
+                    if got is None:
+                        return None
+                    consts.update(got)
+        if not bound:
+            return None  # unbound projected var: not this rewrite's case
+        schema = f"{q.variables[0]} string"
+        df = (
+            self.spark.createDataFrame([(c,) for c in sorted(consts)], schema)
+            if consts
+            else self.spark.createDataFrame([], schema)
+        )
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
 
     def construct(self, query: str) -> DataFrame:
         from .bgp import (

@@ -1261,3 +1261,54 @@ def _describe_differential(
 
 def test_differential_virtual_describe(spark):
     _describe_differential(spark)
+
+
+def test_constant_projection_answers_from_mapping(setup, spark):
+    """§4.1 Constant Projection / Projection Pushing
+    (allVarsProjectedAsConstantTermMaps,
+    MorphBaseQueryTranslator.scala:398-470): with the opt-in flag, the
+    schema-exploration queries SELECT DISTINCT ?p / ?t answer from the
+    MAPPING alone — zero triples-map compilations, zero source scans —
+    and still match the materialized answer (sources here non-empty, the
+    rewrite's documented assumption)."""
+    from morph_xr2rml_spark.compiler.compile import CompileOptions
+
+    doc, catalog, triples = setup
+    vg = VirtualGraph(
+        spark, doc, catalog, CompileOptions(constant_projection=True)
+    )
+    try:
+        q = "SELECT DISTINCT ?p WHERE { ?s ?p ?o }"
+        got = _rows(vg.select(q))
+        assert vg._compilers == []  # never compiled a source
+        assert got == _rows(sparql_select(triples, q))
+        assert ("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",) in got
+        assert ("<http://example.org/ontology#dept>",) in got
+
+        # rr:class constants at the object position
+        qt = "SELECT DISTINCT ?t WHERE { ?s a ?t }"
+        got_t = _rows(vg.select(qt))
+        assert vg._compilers == []
+        assert got_t == _rows(sparql_select(triples, qt))
+
+        # LIMIT applies to the VALUES frame
+        assert len(vg.select(q + " LIMIT 2").collect()) == 2
+        assert vg._compilers == []
+
+        # a data-dependent position falls through to the normal path
+        qn = PREFIX + "SELECT DISTINCT ?n WHERE { ?s ex:name ?n }"
+        got_n = _rows(vg.select(qn))
+        assert vg._compilers != []  # really evaluated
+        assert got_n == _rows(sparql_select(triples, qn))
+    finally:
+        vg.release()
+
+
+def test_constant_projection_off_by_default(setup, spark):
+    doc, catalog, _t = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        vg.select("SELECT DISTINCT ?p WHERE { ?s ?p ?o }").collect()
+        assert vg._compilers != []  # default: ordinary evaluation
+    finally:
+        vg.release()
