@@ -1312,3 +1312,55 @@ def test_constant_projection_off_by_default(setup, spark):
         assert vg._compilers != []  # default: ordinary evaluation
     finally:
         vg.release()
+
+
+DBLDEPT_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMDept>
+    xrr:logicalSource [ rr:tableName "ddept"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/dept/{dno}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:deptName;
+        rr:objectMap [ rr:column "dname" ];
+    ];
+    .
+"""
+
+
+def test_typed_pushdown_double_keys_exact(spark):
+    """The typed key filter on a DOUBLE column is a SUPERSET of the
+    lexical equality (cast('2' as double) also matches the row whose
+    lexical form is '2.0'), and the exact residual removes the slack:
+    <dept/2> matches nothing because the row's subject IRI is
+    <dept/2.0>, while <dept/1.5> and <dept/2.0> hit their rows."""
+    ddept = spark.createDataFrame(
+        [(1.5, "Eng"), (2.0, "Mkt"), (10000000.0, "Big")],
+        "dno double, dname string",
+    )
+    doc = parse_mapping(DBLDEPT_TTL)
+    catalog = SourceCatalog(spark).register("ddept", ddept)
+    triples = MappingCompiler(spark, doc, catalog).triples()
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        for subj, want in [
+            ("dept/1.5", [('"Eng"',)]),
+            ("dept/2.0", [('"Mkt"',)]),
+            ("dept/2", []),        # superset filter hit, residual removes
+            # integral doubles lexicalize via the long-cast convention
+            # (lex_value_col): 1.0e7 -> "10000000.0", never "1.0E7"
+            ("dept/10000000.0", [('"Big"',)]),
+            ("dept/1.0E7", []),
+            ("dept/10000000", []),
+        ]:
+            q = (
+                PREFIX
+                + f"SELECT ?n WHERE {{ <http://example.org/{subj}> ex:deptName ?n }}"
+            )
+            got = _rows(vg.select(q))
+            assert got == _rows(sparql_select(triples, q)), subj
+            assert sorted(got) == sorted(want), (subj, got)
+    finally:
+        vg.release()
