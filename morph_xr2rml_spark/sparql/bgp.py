@@ -153,7 +153,7 @@ class FilterNode:
 # parser (regex/recursive-descent over the subset)
 # ---------------------------------------------------------------------------
 
-_PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]*)>", re.IGNORECASE)
+_PREFIX_RE = re.compile(r"PREFIX\s+([\w.-]*):\s*<([^>]*)>", re.IGNORECASE)
 # WHERE is optional in the SPARQL grammar (SELECT * { ... } and
 # ASK { ... } are valid); the lookbehind keeps a ?where variable from
 # being eaten as the keyword.
@@ -171,7 +171,8 @@ _CLAUSE_RE = re.compile(r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECA
 # the WHERE block, so it lands inside _SELECT_RE's projection capture
 # and is cut out of it before variable extraction
 _DATASET_RE = re.compile(
-    r"\bFROM\s+(NAMED\s+)?(<[^<>\s]*>|\w+:[\w.%-]*)", re.IGNORECASE
+    r"\bFROM\s+(NAMED\s+)?(<[^<>\s]*>|\w+(?:\.\w+)*:[\w.%-]*)",
+    re.IGNORECASE
 )
 
 _AGG_RE = re.compile(
@@ -186,7 +187,7 @@ _TOKEN_RE = re.compile(
     r"""\?[\w]+           # variable
       | <[^>]*>           # iri
       | "(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[\w-]+)?   # literal
-      | \w+:[\w.%-]*      # prefixed name
+      | \w+(?:\.\w+)*:[\w.%-]*   # prefixed name (PN_PREFIX: interior dots)
       | a\b               # rdf:type shorthand
       | [{}().;,]
       | [\[\]]            # blank-node property lists
@@ -202,14 +203,16 @@ _RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 def _expand(tok: str, prefixes: dict[str, str]) -> str:
     if tok == "a":
         return _RDF_TYPE
-    m = re.match(r"^(\w*):([\w.%-]*)$", tok)
+    m = re.match(r"^([\w.-]*):([\w.%-]*)$", tok)
     if m and m.group(1) in prefixes:
         return f"<{prefixes[m.group(1)]}{m.group(2)}>"
     return tok
 
 
+# prefix-name part: PN_PREFIX permits interior dots (SPARQL 1.1
+# §19.8, e.g. ``PREFIX a.b:``), so the class is [\w.-]*, not [\w-]*
 _PROLOGUE_RE = re.compile(
-    r"\s*(?:(?:PREFIX\s+[\w-]*:|BASE)\s*<[^>]*>\s*)*", re.IGNORECASE
+    r"\s*(?:(?:PREFIX\s+[\w.-]*:|BASE)\s*<[^>]*>\s*)*", re.IGNORECASE
 )
 
 
@@ -838,9 +841,13 @@ def _path_step(
 
 def _split_statements(chunk: str) -> list[str]:
     """Split on '.' statement separators only — not dots inside string
-    literals or inside <IRI> tokens (http://... contains dots)."""
+    literals, inside <IRI> tokens (http://... contains dots), or
+    directly between two word characters (a dotted prefixed name like
+    ``e.x:name`` per PN_PREFIX, or a decimal literal ``5.5``; a real
+    separator in that position would glue two names, which the SPARQL
+    grammar resolves the same way)."""
     stmts, cur, in_str, in_iri = [], [], False, False
-    for c in chunk:
+    for i, c in enumerate(chunk):
         if c == '"' and not in_iri:
             in_str = not in_str
         elif not in_str:
@@ -848,7 +855,14 @@ def _split_statements(chunk: str) -> list[str]:
                 in_iri = True
             elif c == ">":
                 in_iri = False
-        if c == "." and not in_str and not in_iri:
+        in_name = (
+            c == "."
+            and i > 0
+            and i + 1 < len(chunk)
+            and (chunk[i - 1].isalnum() or chunk[i - 1] == "_")
+            and (chunk[i + 1].isalnum() or chunk[i + 1] == "_")
+        )
+        if c == "." and not in_str and not in_iri and not in_name:
             stmts.append("".join(cur))
             cur = []
         else:
@@ -2023,18 +2037,23 @@ def sparql_describe_where(triples: DataFrame, query: str) -> DataFrame:
     distributed — the bound-node set stays a DataFrame and the
     description is two semi-joins (subject side, object side), never a
     collect of the node list."""
+    stripped = _strip_comments(query)
     m = re.search(
         r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*\{",
-        _strip_comments(query),
+        stripped,
         re.IGNORECASE,
     )
     if not m:
         raise ValueError("not a DESCRIBE ?var WHERE query")
     variables = re.findall(r"\?(\w+)", m.group(1))
+    # rewrite on the comment-stripped text (the same input the
+    # detection ran on — a '#' comment between the variable list and
+    # WHERE would otherwise make this substitution a silent no-op;
+    # comment removal is semantics-preserving)
     select = re.sub(
         r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\b",
         "SELECT " + " ".join(f"?{v}" for v in variables) + " WHERE",
-        query,
+        stripped,
         count=1,
         flags=re.IGNORECASE,
     )

@@ -55,6 +55,7 @@ from ..functions.paths import MixedSyntaxPath
 from ..functions.templates import get_template_groups, get_template_matching
 from ..compiler.udfs import rewrite_mongo_id
 from ..functions.paths import _jp_tokenize
+from ..plans import caching
 from ..mapping.model import (
     COLUMN,
     CONSTANT,
@@ -1064,7 +1065,13 @@ class VirtualGraph:
             base = self._compile_tm(tm_name, merged, self.catalog, quads=quads)
             if base is None:
                 continue
-            base = base.persist()
+            # register through the session cache registry (not a bare
+            # persist) so request-scoped release hooks — the endpoint's
+            # release_since at its request boundary — reclaim the block
+            # even when nothing calls VirtualGraph.release(); a
+            # long-lived serve_virtual otherwise leaks one cached frame
+            # per multi-pattern request
+            base = caching.cache(base)
             self._persisted.append(base)
             for tp, gctx, _d, _c in shared:
                 frames.append(self._residual(base, tp, gctx))
@@ -1115,32 +1122,62 @@ class VirtualGraph:
             or w.values or w.exists or w.minuses or w.subselects
         ):
             return None
+        # Soundness restriction: the rewrite answers from the MAPPING
+        # alone, so the WHERE must not constrain solutions in any
+        # data-dependent way. That holds only for a SINGLE triple
+        # pattern whose other positions are distinct, otherwise-unused
+        # variables (a co-pattern sharing a variable, a repeated
+        # variable, or a constant subject/object all select rows — the
+        # reference inspects the joined abstract query for the same
+        # reason, MorphBaseQueryTranslator.scala:398-470). One certain
+        # exception: a CONSTANT predicate whose bound POMs all carry
+        # constant predicate maps — constant-vs-constant pruning is
+        # exact, so the match is mapping-decidable (covers
+        # ``SELECT DISTINCT ?t WHERE { ?s a ?t }``). Residual
+        # assumption, as documented on the option: every bound source
+        # is non-empty and produces at least one non-null term per map.
+        if len(w.patterns) != 1:
+            return None
         var = "?" + q.variables[0]
-        consts: set[str] = set()
-        bound = False
-        for tp in w.patterns:
-            if isinstance(tp.p, Path):
-                return None
-            positions = [
-                pos
-                for pos, t in (("s", tp.s), ("p", tp.p), ("o", tp.o))
-                if t == var
-            ]
-            if not positions:
+        tp = w.patterns[0]
+        if isinstance(tp.p, Path):
+            return None
+        pos_terms = (("s", tp.s), ("p", tp.p), ("o", tp.o))
+        positions = [pos for pos, t in pos_terms if t == var]
+        if len(positions) != 1:
+            return None  # unbound or repeated projected var
+        pos = positions[0]
+        const_pred = False
+        other_vars: list[str] = []
+        for opos, t in pos_terms:
+            if opos == pos:
                 continue
-            bound = True
-            for tm in self.doc.triples_maps.values():
-                detail = _bind_detail(tm, tp, self.options, _ANY_GRAPH)
-                if detail is None:
-                    continue
-                pruned = _detail_to_tm(tm, detail)
-                for pos in positions:
-                    got = _constant_terms_at(pruned, pos, self.options)
-                    if got is None:
-                        return None
-                    consts.update(got)
-        if not bound:
-            return None  # unbound projected var: not this rewrite's case
+            if _is_var(t):
+                other_vars.append(t)
+            elif opos == "p":
+                const_pred = True
+            else:
+                return None  # constant subject/object selects rows
+        if len(set(other_vars)) != len(other_vars):
+            return None  # repeated variable joins positions
+        consts: set[str] = set()
+        for tm in self.doc.triples_maps.values():
+            detail = _bind_detail(tm, tp, self.options, _ANY_GRAPH)
+            if detail is None:
+                continue
+            pruned = _detail_to_tm(tm, detail)
+            if const_pred and any(
+                pm.kind != CONSTANT
+                for pom in pruned.predicate_object_maps
+                for pm in pom.predicate_maps
+            ):
+                # a data-dependent predicate map *might* match the
+                # constant predicate — not mapping-decidable
+                return None
+            got = _constant_terms_at(pruned, pos, self.options)
+            if got is None:
+                return None
+            consts.update(got)
         schema = f"{q.variables[0]} string"
         df = (
             self.spark.createDataFrame([(c,) for c in sorted(consts)], schema)
@@ -1262,18 +1299,23 @@ class VirtualGraph:
         materialize-then-describe path (two semi-joins)."""
         from .bgp import _strip_comments
 
+        stripped = _strip_comments(query)
         m = re.search(
             r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*\{",
-            _strip_comments(query),
+            stripped,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError("not a DESCRIBE ?var WHERE query")
         variables = re.findall(r"\?(\w+)", m.group(1))
+        # substitute on the same comment-stripped text the detection ran
+        # on — a '#' comment between the variable list and WHERE would
+        # otherwise leave the DESCRIBE keyword in place and phase 1
+        # would try to parse it as a SELECT
         select = re.sub(
             r"\bDESCRIBE\s+((?:\?\w+\s*)+)WHERE\b",
             "SELECT " + " ".join(f"?{v}" for v in variables) + " WHERE",
-            query,
+            stripped,
             count=1,
             flags=re.IGNORECASE,
         )
@@ -1344,8 +1386,20 @@ class VirtualGraph:
                 return None
             return _doc_nodes_pushdown(tm, nodes, doc_col, self.options)
 
+        node_set = frozenset(nodes)
+
         def object_branches(tm: TriplesMap) -> TriplesMap | None:
-            """The TM reduced to branches whose OBJECT can be a node."""
+            """The TM reduced to branches whose OBJECT can be a node.
+            rr:class puts the class IRI in OBJECT position
+            (``?s rdf:type <cls>``), so classes that ARE matched nodes
+            are kept — describing a node used as a class (DESCRIBE ?t
+            WHERE { ?s rdf:type ?t }) must include its rdf:type arcs,
+            same subj|obj semantics as the materialized fallback."""
+            keep_classes = tuple(
+                c
+                for c in tm.subject_map.class_uris
+                if terms.make_iri(c, False) in node_set
+            )
             keep: list[PredicateObjectMap] = []
             for pom in tm.predicate_object_maps:
                 if _pom_emits_collection(pom):
@@ -1373,11 +1427,11 @@ class VirtualGraph:
                     keep.append(
                         replace(pom, object_maps=oms, ref_object_maps=roms)
                     )
-            if not keep:
+            if not keep and not keep_classes:
                 return None
             return replace(
                 tm,
-                subject_map=replace(tm.subject_map, class_uris=()),
+                subject_map=replace(tm.subject_map, class_uris=keep_classes),
                 predicate_object_maps=tuple(keep),
             )
 

@@ -1490,3 +1490,36 @@ def test_protocol_dataset_parameters(spark):
             assert names(r.read().decode()) == {"alpha"}
     finally:
         ep.stop()
+
+
+def test_prefix_name_with_interior_dot(triples):
+    """PN_PREFIX permits interior dots (SPARQL 1.1 §19.8): both the
+    prologue scanner (query_form) and prefix expansion must accept
+    ``PREFIX a.b:`` — previously query_form raised 'not a SPARQL query
+    form' because the prologue regex stopped at the dot."""
+    from morph_xr2rml_spark.sparql.bgp import query_form
+
+    q = f"PREFIX e.x: <{EX}>\nSELECT ?n WHERE {{ ?s e.x:name ?n }}"
+    form, _t, _s, _e = query_form(q)
+    assert form == "SELECT"
+    assert rows(sparql_select(triples, q)) == {
+        ('"alice"',), ('"bob"',), ('"carol"',)
+    }
+
+
+def test_describe_where_comment_between_vars_and_where(triples):
+    """A '#' comment between the DESCRIBE variable list and WHERE made
+    the SELECT rewrite a no-op (detection ran on comment-stripped text,
+    the substitution on the raw query) so phase 1 crashed parsing the
+    unmodified DESCRIBE string."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    commented = (
+        f"PREFIX ex: <{EX}>\n"
+        "DESCRIBE ?x  # the nodes to describe\n"
+        "WHERE { ?x ex:knows ?y }"
+    )
+    plain = f"PREFIX ex: <{EX}>\nDESCRIBE ?x WHERE {{ ?x ex:knows ?y }}"
+    got = rows(sparql_describe_where(triples, commented))
+    assert got == rows(sparql_describe_where(triples, plain))
+    assert (f"<{EX}p/1>", f"<{EX}name>", '"alice"') in got

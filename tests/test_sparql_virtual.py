@@ -1364,3 +1364,116 @@ def test_typed_pushdown_double_keys_exact(spark):
             assert sorted(got) == sorted(want), (subj, got)
     finally:
         vg.release()
+
+
+def test_describe_class_node_keeps_rdf_type_arcs(setup, spark):
+    """Describing a node that is an rr:class IRI must include the
+    '?s rdf:type <node>' arcs (subj|obj semantics, same as the
+    materialized fallback): object_branches previously stripped
+    class_uris unconditionally, so the result depended on max_nodes."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    doc, catalog, triples = setup
+    q = PREFIX + "DESCRIBE ?t WHERE { ?s a ?t }"
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.describe_where(q))
+        assert got == _rows(sparql_describe_where(triples, q))
+        assert (
+            "<http://example.org/emp/10>",
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+            "<http://example.org/ontology#Employee>",
+        ) in got
+        assert (
+            "<http://example.org/dept/2>",
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+            "<http://example.org/ontology#Department>",
+        ) in got
+    finally:
+        vg.release()
+
+
+def test_virtual_describe_where_comment_between_vars_and_where(setup, spark):
+    """Same comment-robustness as the materialized path: the SELECT
+    rewrite runs on the comment-stripped text the detection saw."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    doc, catalog, triples = setup
+    commented = (
+        PREFIX + "DESCRIBE ?d  # which departments\nWHERE { ?e ex:dept ?d }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.describe_where(commented))
+        assert got == _rows(sparql_describe_where(triples, commented))
+        assert ("<http://example.org/dept/1>",
+                "<http://example.org/ontology#deptName>",
+                '"Engineering"') in got
+    finally:
+        vg.release()
+
+
+def test_constant_projection_restricted_to_single_free_pattern(setup, spark):
+    """The mapping-only rewrite is UNSOUND when the WHERE constrains
+    solutions in a data-dependent way: a co-pattern sharing ?s, or a
+    constant subject/object, must fall through to real evaluation (the
+    reference inspects the joined abstract query,
+    MorphBaseQueryTranslator.scala:398-470)."""
+    from morph_xr2rml_spark.compiler.compile import CompileOptions
+
+    doc, catalog, triples = setup
+    opts = CompileOptions(constant_projection=True)
+
+    # co-pattern: nobody has this name, so the true DISTINCT answer is
+    # empty — the old rewrite returned every mapped predicate
+    vg = VirtualGraph(spark, doc, catalog, opts)
+    try:
+        q = PREFIX + (
+            'SELECT DISTINCT ?p WHERE { ?s ?p ?o . ?s ex:name "nobody" }'
+        )
+        got = _rows(vg.select(q))
+        assert vg._compilers != []  # really evaluated, not mapping-only
+        assert got == _rows(sparql_select(triples, q)) == []
+    finally:
+        vg.release()
+
+    # constant object selects rows the mapping alone cannot decide
+    vg = VirtualGraph(spark, doc, catalog, opts)
+    try:
+        q = PREFIX + 'SELECT DISTINCT ?p WHERE { ?s ?p "nobody" }'
+        got = _rows(vg.select(q))
+        assert vg._compilers != []
+        assert got == _rows(sparql_select(triples, q)) == []
+    finally:
+        vg.release()
+
+    # repeated variable joins two positions: fall through
+    vg = VirtualGraph(spark, doc, catalog, opts)
+    try:
+        q = "SELECT DISTINCT ?p WHERE { ?s ?p ?s }"
+        got = _rows(vg.select(q))
+        assert vg._compilers != []
+        assert got == _rows(sparql_select(triples, q)) == []
+    finally:
+        vg.release()
+
+
+def test_fragment_persist_released_at_request_boundary(setup, spark):
+    """fragment()'s shared-fragment persist registers with the session
+    cache registry, so an endpoint's release_since at its request
+    boundary reclaims it even when nothing calls VirtualGraph.release()
+    — a long-lived serve_virtual must not leak one cached frame per
+    multi-pattern request."""
+    from morph_xr2rml_spark.plans import caching
+
+    doc, catalog, _t = setup
+    vg = VirtualGraph(spark, doc, catalog)
+    mark = caching.job_mark()
+    df = vg.select(
+        PREFIX + "SELECT ?n ?s WHERE { ?e ex:name ?n . ?e ex:salary ?s }"
+    )
+    df.collect()
+    assert vg._persisted, "expected the shared fragment to be persisted"
+    assert all(f.storageLevel.useMemory for f in vg._persisted)
+    caching.release_since(mark)
+    assert all(not f.storageLevel.useMemory for f in vg._persisted)
