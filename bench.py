@@ -2,9 +2,16 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], printing ONE JSON
 line:
 
-    {"metric": "bench_suite_seconds", "value": <total>, "unit": "sec",
-     "queries": {...}, "sf": ..., "triples_per_sec": ...,
+    {"metric": "bench_suite_seconds", "value": <normalized total>,
+     "unit": "sec", "queries": {...}, "queries_raw": {...},
+     "calibration": {...}, "sf": ..., "triples_per_sec": ...,
      "scaling": {...}}
+
+"value"/"queries"/"triples_per_sec" are STEAL-NORMALIZED: per-query
+raw seconds divided by the phase's measured inflation factor from the
+fixed-work userspace calibration (see steal_calibration). The raw
+measurements always ride along in queries_raw / suite_seconds_raw /
+triples_per_sec_raw.
 
 The scaling block is the sandbox proxy for BASELINE.json's two-cluster-
 size criterion: the SAME triple-materialization job over the SAME
@@ -98,6 +105,59 @@ BENCH_QUERIES = [
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "72"))
 
 
+# ---- steal calibration -----------------------------------------------
+# The sandbox shows hypervisor-steal *phases* (BASELINE.md: same-day
+# suite runs 104-209s for identical code; ~5-minute windows of 1.1-5.1x
+# per-query inflation), so a raw suite number carries its phase and
+# round-over-round comparisons were noise (round-4 verdict, What's
+# wrong #2). Fix: time a FIXED piece of userspace work — sha256 over an
+# in-memory buffer, which releases the GIL, so a small thread pool
+# keeps cores busy with zero syscall/shuffle footprint — immediately
+# before, mid-way through, and after the suite. Steal and host CPU
+# contention are the only things that can slow it down, so
+# observed/reference is the phase's inflation factor.
+# Reference floor: min of 30+ samples across several phases on this
+# box (0.949s; floors are approached from above). The JSON records raw
+# AND normalized so a drifting reference is visible, never hidden.
+_CALIB_BUF = bytes(range(256)) * (4 * 1024 * 1024 // 256)  # 4 MiB
+CALIBRATION_THREADS = 8
+CALIBRATION_REPS = 320  # ~0.95s clean: long enough to average bursts
+CALIBRATION_REF_SECONDS = float(
+    os.environ.get("SPARK_GRAFT_CALIB_REF", "0.949")
+)
+
+
+def _calibration_sample() -> float:
+    """Wall seconds for the fixed userspace work unit."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    def work(reps: int) -> str:
+        h = hashlib.sha256()
+        for _ in range(reps):
+            h.update(_CALIB_BUF)
+        return h.hexdigest()
+
+    t0 = time.time()
+    with ThreadPoolExecutor(CALIBRATION_THREADS) as ex:
+        list(ex.map(work, [CALIBRATION_REPS] * CALIBRATION_THREADS))
+    return time.time() - t0
+
+
+def steal_calibration(samples: list[float]) -> dict[str, object]:
+    """Summarize calibration samples into the recorded block.
+    steal_factor uses the MEAN sample (the suite ran through the whole
+    window, so the average inflation is the right deflator), floored at
+    1.0 (a sample under the reference floor is measurement luck, not
+    negative steal)."""
+    mean = sum(samples) / len(samples)
+    return {
+        "samples_sec": [round(s, 3) for s in samples],
+        "ref_sec": CALIBRATION_REF_SECONDS,
+        "steal_factor": round(max(1.0, mean / CALIBRATION_REF_SECONDS), 3),
+    }
+
+
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -187,13 +247,19 @@ def _warm_session(spark: SparkSession) -> None:
     df.select(_echo(df.id).alias("v")).groupBy((F.col("v") % 7)).count().count()
 
 
-def run_queries(spark: SparkSession) -> tuple[dict[str, float], float]:
+def run_queries(
+    spark: SparkSession,
+) -> tuple[dict[str, float], float, list[float]]:
     registry = dc.queries()
     _warm_session(spark)
     timings: dict[str, float] = {}
     kg_triples = 0
     kg_secs = 0.0
-    for name in BENCH_QUERIES:
+    # steal samples bracketing + interleaving the suite: one before,
+    # one after every 8th query, one after — the per-phase record the
+    # normalized numbers divide by
+    calib = [_calibration_sample()]
+    for i, name in enumerate(BENCH_QUERIES):
         fn = registry[name]
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
@@ -201,8 +267,11 @@ def run_queries(spark: SparkSession) -> tuple[dict[str, float], float]:
         timings[name] = round(dt, 3)
         if name == "kg_triples_canonical":
             kg_triples, kg_secs = n, dt
+        if (i + 1) % 8 == 0:
+            calib.append(_calibration_sample())
+    calib.append(_calibration_sample())
     tps = kg_triples / kg_secs if kg_secs > 0 else 0.0
-    return timings, tps
+    return timings, tps, calib
 
 
 def run_sf_scaling(spark: SparkSession) -> dict[str, object]:
@@ -529,18 +598,30 @@ def main() -> None:
         extra_conf=_MEM_CONF,
     )
     t0 = time.time()
-    timings, tps = run_queries(spark)
+    timings, tps, calib = run_queries(spark)
+    suite = round(sum(timings.values()), 3)
     total = round(time.time() - t0, 3)
     sf_scaling = run_sf_scaling(spark) if do_sf_scaling else None
     spark.stop()
 
+    cal = steal_calibration(calib)
+    factor = cal["steal_factor"]
     result = {
         "metric": "bench_suite_seconds",
-        "value": total,
+        # the headline value is the steal-normalized suite time (sum of
+        # per-query times deflated by the phase's measured inflation) so
+        # round-over-round comparisons compare plans, not hypervisor
+        # weather; raw numbers are recorded alongside (BASELINE.md rule)
+        "value": round(suite / factor, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v / factor, 3) for k, v in timings.items()},
+        "queries_raw": timings,
+        "suite_seconds_raw": suite,
+        "wall_seconds_raw": total,
+        "calibration": cal,
         "sf": _sf_of(SF_DIR),
-        "triples_per_sec": round(tps, 1),
+        "triples_per_sec": round(tps * factor, 1),
+        "triples_per_sec_raw": round(tps, 1),
     }
     if sf_scaling is not None:
         result["sf_scaling"] = sf_scaling
