@@ -557,9 +557,13 @@ def _object_pushdown(
     pruned: TriplesMap, tp: TriplePattern, src: DataFrame
 ) -> Column | None:
     """Catalyst filter implied by ``obj == tp.o`` — only when the pruned
-    map emits triples from exactly one plain column object map, so the
-    filter cannot suppress a row another branch still needs."""
-    if isinstance(tp.p, Path) or _is_var(tp.o) or not tp.o.startswith('"'):
+    map emits triples from exactly one plain object map, so the filter
+    cannot suppress a row another branch still needs. Literal objects
+    key a plain column; IRI objects invert a single-group
+    encoding-invariant template (the taxref
+    ``?t skosxl:altLabel <label/60587>`` shape, whose constant reduces
+    the pattern's own scan even when no join-side optimization applies)."""
+    if isinstance(tp.p, Path) or _is_var(tp.o):
         return None
     if pruned.subject_map.class_uris or len(pruned.predicate_object_maps) != 1:
         return None
@@ -567,12 +571,32 @@ def _object_pushdown(
     if pom.ref_object_maps or len(pom.object_maps) != 1:
         return None
     om = pom.object_maps[0]
-    if om.kind != COLUMN or om.column not in src.columns:
+    if om.is_collection:
         return None
-    lit = parse_term(tp.o)
-    raw = lit["value"]
-    dtype = src.schema[om.column].dataType
-    return _key_in_filter(om.column, dtype, [raw])
+    if tp.o.startswith('"'):
+        if om.kind != COLUMN or om.column not in src.columns:
+            return None
+        lit = parse_term(tp.o)
+        raw = lit["value"]
+        dtype = src.schema[om.column].dataType
+        return _key_in_filter(om.column, dtype, [raw])
+    if (
+        tp.o.startswith("<")
+        and om.kind == TEMPLATE
+        and om.infer_term_type() == terms.TERM_IRI
+        and _template_invariant(om.template)
+    ):
+        col = _single_column_template(om)
+        if col is None or col not in src.columns:
+            return None
+        match = get_template_matching(om.template, tp.o[1:-1])
+        if len(match) != 1:
+            return None
+        value = next(iter(match.values()))
+        if not _UNRESERVED.match(value):
+            return None
+        return _key_in_filter(col, src.schema[col].dataType, [value])
+    return None
 
 
 def _simple_json_field(expr: str) -> str | None:
@@ -664,9 +688,10 @@ def _doc_subject_pushdown(
 def _doc_object_pushdown(
     pruned: TriplesMap, tp: TriplePattern, doc: Column
 ) -> Column | None:
-    """Document-source twin of :func:`_object_pushdown` for a literal
-    object over a single plain JSONPath reference object map."""
-    if isinstance(tp.p, Path) or _is_var(tp.o) or not tp.o.startswith('"'):
+    """Document-source twin of :func:`_object_pushdown`: a literal
+    object over a single plain JSONPath reference object map, or an IRI
+    object inverting a single-group JSONPath template object map."""
+    if isinstance(tp.p, Path) or _is_var(tp.o):
         return None
     if pruned.subject_map.class_uris or len(pruned.predicate_object_maps) != 1:
         return None
@@ -674,13 +699,37 @@ def _doc_object_pushdown(
     if pom.ref_object_maps or len(pom.object_maps) != 1:
         return None
     om = pom.object_maps[0]
-    if om.kind != REFERENCE or om.ref_formulation != "JSONPath":
+    if om.is_collection:
         return None
-    field = _simple_json_field(om.reference)
-    if field is None:
-        return None
-    lit = parse_term(tp.o)
-    return _doc_value_filter(doc, field, lit["value"])
+    if tp.o.startswith('"'):
+        if om.kind != REFERENCE or om.ref_formulation != "JSONPath":
+            return None
+        field = _simple_json_field(om.reference)
+        if field is None:
+            return None
+        lit = parse_term(tp.o)
+        return _doc_value_filter(doc, field, lit["value"])
+    if (
+        tp.o.startswith("<")
+        and om.kind == TEMPLATE
+        and om.ref_formulation == "JSONPath"
+        and om.infer_term_type() == terms.TERM_IRI
+        and _template_invariant(om.template)
+    ):
+        groups = get_template_groups(om.template)
+        if len(groups) != 1:
+            return None
+        field = _simple_json_field(groups[0])
+        if field is None:
+            return None
+        match = get_template_matching(om.template, tp.o[1:-1])
+        if len(match) != 1:
+            return None
+        value = next(iter(match.values()))
+        if not _UNRESERVED.match(value):
+            return None
+        return _doc_value_filter(doc, field, value)
+    return None
 
 
 def _constant_terms_at(
@@ -808,6 +857,174 @@ def _doc_nodes_pushdown(
 
 
 # ---------------------------------------------------------------------------
+# cross-pattern condition propagation
+# ---------------------------------------------------------------------------
+# The reference copies Equals/IsNotNull conditions between the two sides
+# of a join when the condition's reference is also the reference
+# projected as a shared variable
+# (AbstractQueryAtomicMongo.propagateConditionFromJoinedQuery:269-316;
+# child->parent equality push MorphMongoQueryTranslator.scala:426-431),
+# so BOTH patterns' source scans are reduced — its taxref notes showcase
+# ``?t skosxl:prefLabel <label/60585> . ?t skosxl:altLabel ?a`` ("very
+# big inner join but with propagation of conditions"). Spark-first
+# re-expression: a required pattern's constant terms invert (via the
+# term-map template) into key-value constraints on the pattern's OWN
+# VARIABLES; a variable constrained the same way by EVERY binding of
+# that pattern carries the constraint query-wide, and any other
+# pattern's binding whose term map for that variable uses the *same
+# template string and term type* gets the implied typed IN-filter
+# pushed into its source scan. Soundness: equal single-group templates
+# with encoding-invariant fixed parts render equal terms iff the
+# percent-encoded group values are equal, and encoding is injective, so
+# term equality forces key equality; the typed IN-list is a documented
+# superset (_typed_key) and the evaluator's own join removes the slack.
+
+
+def _binding_var_keys(
+    pruned: TriplesMap, tp: TriplePattern, options: CompileOptions
+) -> dict[str, tuple[str, str, tuple[str, ...]]]:
+    """var -> (template, term type, key values) constraints implied by
+    this binding's constant terms on the pattern's variable terms.
+    A constraint is emitted only when the constant's inverted reference
+    is the SAME source reference the variable's term map reads (the
+    reference's projected-reference condition match), the variable's
+    term map is a single-group encoding-invariant template, and the
+    inverted value is encoding-unreserved."""
+    out: dict[str, tuple[str, str, tuple[str, ...]]] = {}
+    if isinstance(tp.p, Path):
+        return out
+    sm = pruned.subject_map
+    s_ref = None
+    if sm.kind == TEMPLATE and _template_invariant(sm.template):
+        groups = get_template_groups(sm.template)
+        if len(groups) == 1:
+            s_ref = groups[0]
+    # the single object map this pattern can match through, when the
+    # pruning proves there is exactly one way (no classes, one POM, one
+    # OM, no RefObjectMap, no collection) — otherwise a constant object
+    # does not determine a unique reference
+    single_om = None
+    if not sm.class_uris and len(pruned.predicate_object_maps) == 1:
+        pom = pruned.predicate_object_maps[0]
+        if not pom.ref_object_maps and len(pom.object_maps) == 1:
+            om = pom.object_maps[0]
+            if not om.is_collection:
+                single_om = om
+    o_ref = o_tmpl = None
+    if single_om is not None:
+        if single_om.kind == TEMPLATE and _template_invariant(
+            single_om.template
+        ):
+            og = get_template_groups(single_om.template)
+            if len(og) == 1:
+                o_ref, o_tmpl = og[0], single_om.template
+        elif single_om.kind == COLUMN:
+            o_ref = single_om.column
+        elif single_om.kind == REFERENCE:
+            o_ref = single_om.reference
+
+    # constant-derived (reference, lexical value) pairs — genCond
+    pairs: list[tuple[str, str]] = []
+    if not _is_var(tp.s) and tp.s.startswith("<") and s_ref is not None:
+        match = get_template_matching(sm.template, tp.s[1:-1])
+        if len(match) == 1:
+            value = next(iter(match.values()))
+            if _UNRESERVED.match(value):
+                pairs.append((s_ref, value))
+    if not _is_var(tp.o) and o_ref is not None:
+        if tp.o.startswith("<") and o_tmpl is not None:
+            match = get_template_matching(o_tmpl, tp.o[1:-1])
+            if len(match) == 1:
+                value = next(iter(match.values()))
+                if _UNRESERVED.match(value):
+                    pairs.append((o_ref, value))
+        elif tp.o.startswith('"') and o_tmpl is None:
+            pairs.append((o_ref, parse_term(tp.o)["value"]))
+    if not pairs:
+        return out
+
+    if (
+        _is_var(tp.s)
+        and s_ref is not None
+        and sm.infer_term_type() == terms.TERM_IRI
+    ):
+        vals = tuple(sorted({v for r, v in pairs if r == s_ref}))
+        if vals:
+            out[tp.s] = (sm.template, terms.TERM_IRI, vals)
+    if (
+        _is_var(tp.o)
+        and o_tmpl is not None
+        and single_om.infer_term_type() == terms.TERM_IRI
+    ):
+        vals = tuple(sorted({v for r, v in pairs if r == o_ref}))
+        if vals:
+            out[tp.o] = (o_tmpl, terms.TERM_IRI, vals)
+    return out
+
+
+def _prop_scan_filter(
+    pruned: TriplesMap,
+    tp: TriplePattern,
+    prop: dict[str, list[tuple[str, str, tuple[str, ...]]]],
+    src: DataFrame | None = None,
+    doc: Column | None = None,
+) -> Column | None:
+    """AND of the scan filters the propagated variable constraints imply
+    on THIS binding, or None. A constraint applies to a position only
+    when the position's term map is a template EQUAL to the constraint's
+    (same string, same term type) — different templates can render the
+    same term, so they are skipped, never filtered."""
+
+    def tmpl_filter(term_map, constraint) -> Column | None:
+        tmpl, ttype, vals = constraint
+        if term_map.kind != TEMPLATE or term_map.template != tmpl:
+            return None
+        if term_map.infer_term_type() != ttype:
+            return None
+        if src is not None:
+            col = _single_column_template(term_map)
+            if col is None or col not in src.columns:
+                return None
+            return _key_in_filter(col, src.schema[col].dataType, list(vals))
+        if term_map.ref_formulation != "JSONPath":
+            return None
+        groups = get_template_groups(tmpl)
+        field = _simple_json_field(groups[0]) if len(groups) == 1 else None
+        if field is None or len(vals) > 64:
+            return None
+        cond = _doc_value_filter(doc, field, vals[0])
+        for v in vals[1:]:
+            cond = cond | _doc_value_filter(doc, field, v)
+        return cond
+
+    conds: list[Column] = []
+    if _is_var(tp.s) and tp.s in prop:
+        # every POM of the branch shares the subject, so a subject-side
+        # filter cannot starve a sibling object map
+        for constraint in prop[tp.s]:
+            f = tmpl_filter(pruned.subject_map, constraint)
+            if f is not None:
+                conds.append(f)
+    if _is_var(tp.o) and tp.o in prop and not isinstance(tp.p, Path):
+        sm = pruned.subject_map
+        if not sm.class_uris and len(pruned.predicate_object_maps) == 1:
+            pom = pruned.predicate_object_maps[0]
+            if not pom.ref_object_maps and len(pom.object_maps) == 1:
+                om = pom.object_maps[0]
+                if not om.is_collection:
+                    for constraint in prop[tp.o]:
+                        f = tmpl_filter(om, constraint)
+                        if f is not None:
+                            conds.append(f)
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+# ---------------------------------------------------------------------------
 # the virtual graph
 # ---------------------------------------------------------------------------
 
@@ -927,6 +1144,55 @@ class VirtualGraph:
                 frame = frame.where(F.col(pos) == F.lit(term))
         return frame
 
+    def _propagation_constraints(
+        self, q: SelectQuery, quads: bool, dataset: bool
+    ) -> dict[str, list[tuple[str, str, tuple[str, ...]]]]:
+        """var -> [(template, term type, key values), ...] constraints
+        that hold in EVERY solution of the query: derived from the
+        REQUIRED top-level patterns (conjunctive, so each constrains all
+        solutions), and only when every binding of the pattern agrees on
+        the variable's template/type (the values union over bindings).
+        Purely driver-side over the mapping tree."""
+        if not quads:
+            gctx = _ANY_GRAPH
+        elif dataset:
+            gctx = frozenset(q.from_graphs)
+            if not gctx:
+                return {}
+        else:
+            gctx = None
+        prop: dict[str, list[tuple[str, str, tuple[str, ...]]]] = {}
+        for tp in q.where.patterns:
+            if isinstance(tp.p, Path):
+                continue
+            if _is_var(tp.s) and _is_var(tp.o):
+                continue  # no constant to invert
+            dicts: list[dict] = []
+            for tm in self.doc.triples_maps.values():
+                detail = _bind_detail(tm, tp, self.options, gctx)
+                if detail is None:
+                    continue
+                dicts.append(
+                    _binding_var_keys(
+                        _detail_to_tm(tm, detail), tp, self.options
+                    )
+                )
+            if not dicts:
+                continue  # pattern matches nothing; fragment is empty
+            common = set(dicts[0])
+            for d in dicts[1:]:
+                common &= set(d)
+            for v in common:
+                tmpls = {d[v][0] for d in dicts}
+                ttypes = {d[v][1] for d in dicts}
+                if len(tmpls) != 1 or len(ttypes) != 1:
+                    continue  # bindings disagree: values not comparable
+                vals = sorted(set().union(*(d[v][2] for d in dicts)))
+                prop.setdefault(v, []).append(
+                    (tmpls.pop(), ttypes.pop(), tuple(vals))
+                )
+        return prop
+
     def fragment(self, query: str | SelectQuery) -> DataFrame:
         """The deduplicated union of every bound, pushed-down branch —
         a subset of ``MappingCompiler.triples()`` sufficient to answer
@@ -953,6 +1219,7 @@ class VirtualGraph:
         q = parse_sparql(query) if isinstance(query, str) else query
         dataset = bool(q.from_graphs or q.from_named)
         quads = dataset or self._has_graphs(q.where)
+        prop = self._propagation_constraints(q, quads, dataset)
         frames: list[DataFrame] = []
         # tm name -> [(pattern, graph ctx, pruning detail, scan cond)]
         collected: dict[
@@ -1008,6 +1275,22 @@ class VirtualGraph:
                             ocond = _doc_object_pushdown(pruned, tp, doc_col)
                             if ocond is not None:
                                 cond = ocond if cond is None else (cond & ocond)
+                    # cross-pattern condition propagation: constraints a
+                    # REQUIRED pattern places on a shared variable filter
+                    # this binding's scan too (propagateConditionFrom-
+                    # JoinedQuery analogue; sound for any pattern
+                    # position — OPTIONAL/UNION/MINUS/EXISTS solutions
+                    # only matter when compatible with the required
+                    # patterns, whose shared-var values are constrained)
+                    if table is not None and prop:
+                        if ls.kind == "table":
+                            pcond = _prop_scan_filter(pruned, tp, prop, src=src)
+                        else:
+                            pcond = _prop_scan_filter(
+                                pruned, tp, prop, doc=doc_col
+                            )
+                        if pcond is not None:
+                            cond = pcond if cond is None else (cond & pcond)
                     # the filter replaces the CATALOG entry, so a
                     # RefObjectMap whose parent reads the same table
                     # would see its parent side starved (a self-join

@@ -1477,3 +1477,242 @@ def test_fragment_persist_released_at_request_boundary(setup, spark):
     assert all(f.storageLevel.useMemory for f in vg._persisted)
     caching.release_since(mark)
     assert all(not f.storageLevel.useMemory for f in vg._persisted)
+
+
+# ---------------------------------------------------------------------------
+# cross-pattern condition propagation
+# (AbstractQueryAtomicMongo.propagateConditionFromJoinedQuery:269-316,
+#  MorphMongoQueryTranslator.scala:426-431; taxref query.sparql:36-41)
+# ---------------------------------------------------------------------------
+
+# the taxref shape: one map's subject AND its prefLabel object template
+# read the same source column, a second map shares the subject template
+PROP_TTL = """\
+@prefix xrr: <http://i3s.unice.fr/xr2rml#> .
+@prefix rr:  <http://www.w3.org/ns/r2rml#> .
+@prefix ex:  <http://example.org/ontology#> .
+
+<#TMTaxon>
+    xrr:logicalSource [ rr:tableName "taxa"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/taxon/{code}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:prefLabel;
+        rr:objectMap [ rr:template "http://example.org/label/{code}" ];
+    ];
+    .
+
+<#TMAlt>
+    xrr:logicalSource [ rr:tableName "alts"; xrr:referenceFormulation xrr:Column ];
+    rr:subjectMap [ rr:template "http://example.org/taxon/{code}" ];
+    rr:predicateObjectMap [
+        rr:predicate ex:altLabel;
+        rr:objectMap [ rr:template "http://example.org/label/{alt}" ];
+    ];
+    .
+"""
+
+
+def _prop_setup(spark, tmp_path):
+    spark.createDataFrame(
+        [(60585, "a"), (60586, "b"), (60587, "c")], "code int, x string"
+    ).write.parquet(str(tmp_path / "taxa"))
+    spark.createDataFrame(
+        [(60585, 1), (60585, 2), (60586, 3)], "code int, alt int"
+    ).write.parquet(str(tmp_path / "alts"))
+    doc = parse_mapping(PROP_TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("taxa", spark.read.parquet(str(tmp_path / "taxa")),
+                  unique_key=["code"])
+        .register("alts", spark.read.parquet(str(tmp_path / "alts")))
+    )
+    return doc, catalog
+
+
+def _pushed_filters(spark, df):
+    fmt = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return fmt, [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
+
+
+def _scan_filters_by_table(spark, df):
+    """{parquet directory basename: [PushedFilters lines]} per scan node
+    of the formatted plan."""
+    fmt = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    out: dict[str, list[str]] = {}
+    loc = None
+    for ln in fmt.splitlines():
+        if "Location:" in ln:
+            loc = ln.rstrip("]").rstrip("/").rsplit("/", 1)[-1]
+        elif "PushedFilters" in ln and loc is not None:
+            out.setdefault(loc, []).append(ln)
+    return fmt, out
+
+
+def test_condition_propagation_filters_both_scans(spark, tmp_path):
+    """``?t ex:prefLabel <label/60585> . ?t ex:altLabel ?a``: the
+    constant inverts on TMTaxon to code=60585; since TMAlt's subject
+    uses the SAME template, the equality propagates and BOTH parquet
+    scans carry a typed code filter (the reference's 'very big inner
+    join but with propagation of conditions' shape)."""
+    import re as _re
+
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { "
+        "?t ex:prefLabel <http://example.org/label/60585> . "
+        "?t ex:altLabel ?a }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(q)
+        fmt, pushed = _pushed_filters(spark, frag)
+        hits = [ln for ln in pushed if _re.search(r"(In|EqualTo)\(code", ln)]
+        assert len(hits) >= 2, fmt  # both sources' scans are key-filtered
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    assert got == want
+    assert got == [
+        (
+            "<http://example.org/taxon/60585>",
+            "<http://example.org/label/1>",
+        ),
+        (
+            "<http://example.org/taxon/60585>",
+            "<http://example.org/label/2>",
+        ),
+    ]
+
+
+def test_constant_iri_object_pushdown_filters_own_scan(spark, tmp_path):
+    """A constant IRI object inverts the object map's template into a
+    typed key filter on the pattern's own scan (the taxref
+    'no propagation applies' shape still reduces ITS source)."""
+    import re as _re
+
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t WHERE { "
+        "?t ex:altLabel <http://example.org/label/2> }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(q)
+        fmt, pushed = _pushed_filters(spark, frag)
+        assert any(_re.search(r"(In|EqualTo)\(alt", ln) for ln in pushed), fmt
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    assert got == [("<http://example.org/taxon/60585>",)]
+
+
+def test_propagation_not_derived_from_optional_patterns(spark, tmp_path):
+    """A constant inside OPTIONAL constrains nothing outside it: no
+    propagated filter may reach the required pattern's scan, and the
+    answer still matches materialize-then-query."""
+    import re as _re
+
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { ?t ex:altLabel ?a . "
+        "OPTIONAL { ?t ex:prefLabel <http://example.org/label/60585> } }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(q)
+        fmt, by_table = _scan_filters_by_table(spark, frag)
+        # the required alts scan must NOT be key-filtered (60586's row is
+        # an answer); the OPTIONAL's own taxa scan may keep its constant
+        assert not any(
+            _re.search(r"(In|EqualTo)\(code", ln)
+            for ln in by_table.get("alts", [])
+        ), fmt
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    assert got == want
+    assert ("<http://example.org/taxon/60586>",
+            "<http://example.org/label/3>") in got
+
+
+def test_propagation_into_optional_and_union_branches(spark, tmp_path):
+    """The propagated constraint from a REQUIRED pattern filters
+    OPTIONAL- and UNION-side scans too (their solutions only matter when
+    compatible with the required pattern), with answers exact."""
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { "
+        "?t ex:prefLabel <http://example.org/label/60586> . "
+        "OPTIONAL { ?t ex:altLabel ?a } }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    assert got == want
+    assert got == [
+        (
+            "<http://example.org/taxon/60586>",
+            "<http://example.org/label/3>",
+        ),
+    ]
+
+
+def test_propagation_requires_same_template(spark, tmp_path):
+    """Bindings whose subject templates differ from the constrained
+    variable's template are left unfiltered (different templates can
+    render the same term), and answers stay exact."""
+    ttl = PROP_TTL.replace(
+        'rr:template "http://example.org/taxon/{code}" ];\n    rr:predicateObjectMap [\n        rr:predicate ex:altLabel',
+        'rr:template "http://example.org/taxon-alt/{code}" ];\n    rr:predicateObjectMap [\n        rr:predicate ex:altLabel',
+    )
+    assert "taxon-alt" in ttl
+    doc = parse_mapping(ttl)
+    spark.createDataFrame(
+        [(60585, "a")], "code int, x string"
+    ).write.parquet(str(tmp_path / "taxa2"))
+    spark.createDataFrame(
+        [(60585, 1)], "code int, alt int"
+    ).write.parquet(str(tmp_path / "alts2"))
+    catalog = (
+        SourceCatalog(spark)
+        .register("taxa", spark.read.parquet(str(tmp_path / "taxa2")))
+        .register("alts", spark.read.parquet(str(tmp_path / "alts2")))
+    )
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { "
+        "?t ex:prefLabel <http://example.org/label/60585> . "
+        "?t ex:altLabel ?a }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    # different subject templates -> the join is empty, and both modes agree
+    assert got == want == []
