@@ -880,16 +880,34 @@ def _doc_nodes_pushdown(
 # superset (_typed_key) and the evaluator's own join removes the slack.
 
 
+def _template_shape(template: str) -> tuple[str, str] | None:
+    """(prefix, suffix) around THE single group of a template, or None
+    when the template has != 1 group. Two single-group templates with
+    equal shapes and encoding-invariant fixed parts render equal terms
+    iff their percent-encoded group values are equal — the propagation
+    comparison key. Shape (not whole-template) equality matters because
+    the reference transfers the VALUE between *different* references
+    projected as the same variable (taxref: the constraint inverts on
+    ``taxon/{$.codeTaxon}`` but applies to ``taxon/{$.codeReference}``)."""
+    from ..functions.templates import _GROUP_RE, _mask_paths
+
+    masked, _paths = _mask_paths(template)
+    ms = list(_GROUP_RE.finditer(masked))
+    if len(ms) != 1:
+        return None
+    return masked[: ms[0].start()], masked[ms[0].end():]
+
+
 def _binding_var_keys(
     pruned: TriplesMap, tp: TriplePattern, options: CompileOptions
-) -> dict[str, tuple[str, str, tuple[str, ...]]]:
-    """var -> (template, term type, key values) constraints implied by
-    this binding's constant terms on the pattern's variable terms.
-    A constraint is emitted only when the constant's inverted reference
-    is the SAME source reference the variable's term map reads (the
-    reference's projected-reference condition match), the variable's
-    term map is a single-group encoding-invariant template, and the
-    inverted value is encoding-unreserved."""
+) -> dict[str, tuple[tuple[str, str], str, tuple[str, ...]]]:
+    """var -> (template shape, term type, key values) constraints
+    implied by this binding's constant terms on the pattern's variable
+    terms. A constraint is emitted only when the constant's inverted
+    reference is the SAME source reference the variable's term map reads
+    (the reference's projected-reference condition match), the
+    variable's term map is a single-group encoding-invariant template,
+    and the inverted value is encoding-unreserved."""
     out: dict[str, tuple[str, str, tuple[str, ...]]] = {}
     if isinstance(tp.p, Path):
         return out
@@ -949,35 +967,42 @@ def _binding_var_keys(
         and sm.infer_term_type() == terms.TERM_IRI
     ):
         vals = tuple(sorted({v for r, v in pairs if r == s_ref}))
-        if vals:
-            out[tp.s] = (sm.template, terms.TERM_IRI, vals)
+        shape = _template_shape(sm.template)
+        if vals and shape is not None:
+            out[tp.s] = (shape, terms.TERM_IRI, vals)
     if (
         _is_var(tp.o)
         and o_tmpl is not None
         and single_om.infer_term_type() == terms.TERM_IRI
     ):
         vals = tuple(sorted({v for r, v in pairs if r == o_ref}))
-        if vals:
-            out[tp.o] = (o_tmpl, terms.TERM_IRI, vals)
+        shape = _template_shape(o_tmpl)
+        if vals and shape is not None:
+            out[tp.o] = (shape, terms.TERM_IRI, vals)
     return out
 
 
 def _prop_scan_filter(
     pruned: TriplesMap,
     tp: TriplePattern,
-    prop: dict[str, list[tuple[str, str, tuple[str, ...]]]],
+    prop: dict[str, list[tuple[tuple[str, str], str, tuple[str, ...]]]],
     src: DataFrame | None = None,
     doc: Column | None = None,
 ) -> Column | None:
     """AND of the scan filters the propagated variable constraints imply
     on THIS binding, or None. A constraint applies to a position only
-    when the position's term map is a template EQUAL to the constraint's
-    (same string, same term type) — different templates can render the
-    same term, so they are skipped, never filtered."""
+    when the position's term map is a single-group invariant template of
+    the SAME SHAPE and term type as the constraint's — templates of a
+    different shape can render the same term, so they are skipped,
+    never filtered."""
 
     def tmpl_filter(term_map, constraint) -> Column | None:
-        tmpl, ttype, vals = constraint
-        if term_map.kind != TEMPLATE or term_map.template != tmpl:
+        shape, ttype, vals = constraint
+        if term_map.kind != TEMPLATE:
+            return None
+        if not _template_invariant(term_map.template):
+            return None
+        if _template_shape(term_map.template) != shape:
             return None
         if term_map.infer_term_type() != ttype:
             return None
@@ -988,7 +1013,7 @@ def _prop_scan_filter(
             return _key_in_filter(col, src.schema[col].dataType, list(vals))
         if term_map.ref_formulation != "JSONPath":
             return None
-        groups = get_template_groups(tmpl)
+        groups = get_template_groups(term_map.template)
         field = _simple_json_field(groups[0]) if len(groups) == 1 else None
         if field is None or len(vals) > 64:
             return None
