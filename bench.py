@@ -310,6 +310,111 @@ def run_sf_scaling(spark: SparkSession) -> dict[str, object]:
     return out
 
 
+_TAXREF_MAPPING = (
+    "/root/reference/morph-xr2rml-dist/example_taxref_rewriting/"
+    "xr2rml_taxrefv9-normalized.ttl"
+)
+
+_TAXREF_PREFIXES = """\
+prefix skosxl: <http://www.w3.org/2008/05/skos-xl#>
+"""
+
+# the suite's "propagation of conditions" shape (query.sparql:36-41)
+_TAXREF_QUERY = _TAXREF_PREFIXES + """\
+SELECT ?t ?a ?b WHERE {
+    ?t skosxl:prefLabel <http://inpn.mnhn.fr/taxref/label/1> .
+    ?t skosxl:altLabel ?a .
+    ?t skosxl:altLabel ?b .
+    FILTER (?a != ?b)
+}"""
+
+_TERRITORY_FIELDS = (
+    "fr", "gf", "mar", "gua", "sm", "sb", "spm", "may", "epa", "reu",
+    "sa", "ta", "nc", "wf", "pf", "cli",
+)
+
+
+def run_mapping_width(spark: SparkSession) -> dict[str, object]:
+    """Binder pruning at realistic mapping width (round-4 verdict #5):
+    the reference's own 150-triples-map normalized TAXREF mapping over
+    a synthetic taxref corpus derived from the sf documents table. The
+    rewriting mode compiles only the maps a selective 2-predicate query
+    binds (<=6 of 150) and key-filters both sides' scans via condition
+    propagation; materialize-then-query pays all 150 maps' term
+    construction plus the global dedup before it can answer. Both wall
+    times are recorded — the structural win the reference's rewriting
+    design exists for, as a number."""
+    import pathlib
+
+    from morph_xr2rml_spark.compiler.compile import MappingCompiler
+    from morph_xr2rml_spark.mapping import parse_mapping
+    from morph_xr2rml_spark.plans.caching import release_caches
+    from morph_xr2rml_spark.sources.catalog import SourceCatalog
+    from morph_xr2rml_spark.sparql import sparql_select
+    from morph_xr2rml_spark.sparql.virtual import VirtualGraph
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    code = F.col("doc_id") + F.lit(1)
+    # odd codes are reference names; even codes are synonyms of odd
+    # references 1..399 (head-skewed on purpose — synonym fan-in)
+    ref = F.when(code % 2 == 1, code).otherwise((code % 200) * 2 + 1)
+    fields = [
+        code.alias("codeTaxon"),
+        ref.alias("codeReference"),
+        F.greatest(ref - 2, F.lit(1)).alias("codeParent"),
+        F.substring("text", 1, 24).alias("libelleNom"),
+        F.concat(F.lit("Auteur "), (code % 97).cast("string")).alias(
+            "libelleAuteur"
+        ),
+        F.substring("text", 1, 12).alias("nomVernaculaire"),
+        F.element_at(
+            F.array(F.lit("ES"), F.lit("GN"), F.lit("FM"), F.lit("KD")),
+            (code % 4 + 1).cast("int"),
+        ).alias("rang"),
+        (code % 3).cast("string").alias("habitat"),
+    ]
+    for t in _TERRITORY_FIELDS:
+        if t == "spm":
+            fields.append(F.when(code % 11 == 0, "C").otherwise("").alias(t))
+        elif t == "may":
+            fields.append(F.when(code % 13 == 0, "P").otherwise("").alias(t))
+        else:
+            fields.append(F.lit("").alias(t))
+    corpus = docs.select(F.to_json(F.struct(*fields)).alias("doc")).persist()
+    n_docs = corpus.count()  # input materialized untimed (concrete table)
+
+    mapping = parse_mapping(
+        pathlib.Path(_TAXREF_MAPPING).read_text(),
+        default_formulation="JSONPath",
+    )
+    catalog = SourceCatalog(spark).register("taxrefv9", corpus, doc_column="doc")
+    out: dict[str, object] = {
+        "triples_maps": len(mapping.triples_maps),
+        "docs": n_docs,
+    }
+
+    t0 = time.time()
+    vg = VirtualGraph(spark, mapping, catalog)
+    out["virtual_rows"] = vg.select(_TAXREF_QUERY).count()
+    out["virtual_compiled_maps"] = len(vg._compilers)
+    vg.release()
+    out["virtual_seconds"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    comp = MappingCompiler(spark, mapping, catalog)
+    trip = comp.triples().persist()
+    out["triples"] = trip.count()
+    out["materialize_seconds"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    out["query_rows"] = sparql_select(trip, _TAXREF_QUERY).count()
+    out["query_seconds"] = round(time.time() - t0, 2)
+    trip.unpersist()
+    comp.release()
+    release_caches()
+    corpus.unpersist()
+    return out
+
+
 # N and 4N: the primary pair is 1 -> 4 cores, both inside the region
 # where this sandbox kernel is not yet the bottleneck (thread-heavy
 # shuffle I/O is dominated by system time above ~8 threads — 75% sy in
@@ -593,6 +698,7 @@ def main() -> None:
         return
     do_scaling = "--no-scaling" not in sys.argv
     do_sf_scaling = "--no-sf-scaling" not in sys.argv
+    do_mapping_width = "--no-mapping-width" not in sys.argv
     spark = build_session(
         "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
         extra_conf=_MEM_CONF,
@@ -601,6 +707,7 @@ def main() -> None:
     timings, tps, calib = run_queries(spark)
     suite = round(sum(timings.values()), 3)
     total = round(time.time() - t0, 3)
+    mapping_width = run_mapping_width(spark) if do_mapping_width else None
     sf_scaling = run_sf_scaling(spark) if do_sf_scaling else None
     spark.stop()
 
@@ -623,6 +730,8 @@ def main() -> None:
         "triples_per_sec": round(tps * factor, 1),
         "triples_per_sec_raw": round(tps, 1),
     }
+    if mapping_width is not None:
+        result["mapping_width"] = mapping_width
     if sf_scaling is not None:
         result["sf_scaling"] = sf_scaling
     if do_scaling:
