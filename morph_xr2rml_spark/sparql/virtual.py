@@ -1645,16 +1645,55 @@ class VirtualGraph:
         )
         return self._describe_nodes(nodes)
 
+    # above this many nodes a literal isin() stops being the right
+    # restriction: the expression serializes into every task and the
+    # per-key scan IN-list stops helping the reader — switch to a
+    # broadcast semi-join against the node set and plain scans
+    _ISIN_MAX = 1024
+
     def _describe_nodes(self, nodes: list[str]) -> DataFrame:
         """The fragment of every triple that can mention one of
-        ``nodes`` as subject or object, restricted exactly to them."""
+        ``nodes`` as subject or object, restricted exactly to them.
+
+        Node-set restriction has two regimes: up to ``_ISIN_MAX`` nodes
+        the exact subj/obj filter is a literal isin() and the inverted
+        node KEYS push into the source scans as typed IN filters (a
+        k-node DESCRIBE reads O(k) rows); above it the node set rides
+        along as a broadcast frame and every restriction is a broadcast
+        LEFT SEMI join (one tiny hash table per executor instead of a
+        10k-element expression serialized into every task)."""
         if not nodes:
             return self.spark.createDataFrame(
                 [], "subj string, pred string, obj string"
             )
         iris = [n for n in nodes if n.startswith("<")]
         has_bnode = any(n.startswith("_:") for n in nodes)
-        node_filter = F.col("subj").isin(nodes) | F.col("obj").isin(nodes)
+        use_keys = len(nodes) <= self._ISIN_MAX
+        nodes_df = (
+            None
+            if use_keys
+            else F.broadcast(
+                self.spark.createDataFrame([(n,) for n in nodes], "n string")
+            )
+        )
+
+        def node_restrict(frame: DataFrame, cols=("subj", "obj")) -> DataFrame:
+            """Exact 'one of cols is a node' restriction in the regime's
+            idiom; the final dropDuplicates dedups rows matched by both
+            columns in the semi-join regime."""
+            if use_keys:
+                cond = F.col(cols[0]).isin(nodes)
+                for c in cols[1:]:
+                    cond = cond | F.col(c).isin(nodes)
+                return frame.where(cond)
+            parts = [
+                frame.join(nodes_df, frame[c] == nodes_df["n"], "leftsemi")
+                for c in cols
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
 
         def om_can_produce(om) -> bool:
             if om.is_collection:
@@ -1683,6 +1722,8 @@ class VirtualGraph:
         def node_cond(tm: TriplesMap, table: str) -> Column | None:
             """Source filter implied by 'this map's SUBJECT is in
             nodes', when provably exact."""
+            if not use_keys:
+                return None  # semi-join regime: no per-key scan filter
             if tm.logical_source.kind == "table":
                 try:
                     src = self.catalog._table(table)
@@ -1794,7 +1835,7 @@ class VirtualGraph:
                     tm.name, pruned, parent_filtered_catalog(pruned)
                 )
                 if frame is not None:
-                    frames.append(frame.where(node_filter))
+                    frames.append(node_restrict(frame))
                 continue
             # subject-compatible: push the inverted node keys into the
             # map's own scan when provably exact — a k-node DESCRIBE
@@ -1812,13 +1853,13 @@ class VirtualGraph:
             if cond is None:
                 frame = self._compile_tm(tm.name, tm, self.catalog)
                 if frame is not None:
-                    frames.append(frame.where(node_filter))
+                    frames.append(node_restrict(frame))
                 continue
             frame = self._compile_tm(
                 tm.name, tm, self._filtered_catalog(table, cond)
             )
             if frame is not None:
-                frames.append(frame.where(node_filter))
+                frames.append(node_restrict(frame))
             # rows whose OBJECT is a node but whose subject is not were
             # dropped by the subject-key scan filter: compile the
             # object-producing branches separately (own scan unfiltered,
@@ -1829,7 +1870,7 @@ class VirtualGraph:
                     tm.name, pruned, parent_filtered_catalog(pruned)
                 )
                 if frame is not None:
-                    frames.append(frame.where(F.col("obj").isin(nodes)))
+                    frames.append(node_restrict(frame, ("obj",)))
         if not frames:
             return self.spark.createDataFrame(
                 [], "subj string, pred string, obj string"

@@ -1716,3 +1716,83 @@ def test_propagation_requires_same_template(spark, tmp_path):
         comp.release()
     # different subject templates -> the join is empty, and both modes agree
     assert got == want == []
+
+
+def test_describe_nodes_semi_join_above_isin_bound(spark, tmp_path):
+    """Above _ISIN_MAX matched nodes the two-phase DESCRIBE restricts
+    with a broadcast LEFT SEMI join against the node set instead of a
+    thousands-element literal isin serialized into every task, and the
+    answer stays exactly the materialized DESCRIBE's."""
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    n = VirtualGraph._ISIN_MAX + 200
+    spark.range(n).selectExpr(
+        "cast(id as int) as dno", "concat('dept-', id) as dname"
+    ).write.parquet(str(tmp_path / "dept"))
+    spark.createDataFrame(
+        [(10, "alice", 120, 1)], "eid int, ename string, salary int, dno int"
+    ).write.parquet(str(tmp_path / "emp"))
+    doc = parse_mapping(TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", spark.read.parquet(str(tmp_path / "dept")),
+                  unique_key=["dno"])
+        .register("emp", spark.read.parquet(str(tmp_path / "emp")),
+                  unique_key=["eid"])
+    )
+    q = PREFIX + "DESCRIBE ?d WHERE { ?d ex:deptName ?n }"
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        out = vg.describe_where(q)
+        fmt = spark._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "LeftSemi" in fmt, fmt
+        # no thousands-element literal IN reaches the plan
+        assert "dept-777" not in fmt
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = {
+            tuple(r)
+            for r in sparql_describe_where(comp.triples(), q).collect()
+        }
+    finally:
+        comp.release()
+    assert got == want
+    assert len(got) >= 2 * n  # type + name arcs for every dept
+
+
+def test_describe_nodes_small_set_keeps_key_pushdown(spark, tmp_path):
+    """At or below _ISIN_MAX the typed node-key scan pushdown stays (a
+    k-node DESCRIBE reads O(k) source rows)."""
+    import re as _re
+
+    spark.createDataFrame(
+        [(1, "Engineering"), (2, "Marketing"), (3, "Legal")],
+        "dno int, dname string",
+    ).write.parquet(str(tmp_path / "dept"))
+    spark.createDataFrame(
+        [(10, "alice", 120, 1)], "eid int, ename string, salary int, dno int"
+    ).write.parquet(str(tmp_path / "emp"))
+    doc = parse_mapping(TTL)
+    catalog = (
+        SourceCatalog(spark)
+        .register("dept", spark.read.parquet(str(tmp_path / "dept")),
+                  unique_key=["dno"])
+        .register("emp", spark.read.parquet(str(tmp_path / "emp")),
+                  unique_key=["eid"])
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        out = vg._describe_nodes(["<http://example.org/dept/2>"])
+        fmt, pushed = _pushed_filters(spark, out)
+        assert any(_re.search(r"(In|EqualTo)\(dno", ln) for ln in pushed), fmt
+        rows = {tuple(r) for r in out.collect()}
+    finally:
+        vg.release()
+    assert ("<http://example.org/dept/2>",
+            "<http://example.org/ontology#deptName>",
+            '"Marketing"') in rows
