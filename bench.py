@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "text_vocab_topk",
     "sample_stratified",
     "multimodal_features",
+    # REAL decode path: Column-synthesized P6 pixmaps decoded by the
+    # pure-Python Netpbm parser inside the Arrow mapInPandas stage
+    "multimodal_decode_ppm",
     # materialize-then-query: the kg entry IS the materialization job,
     # so it runs first and carries the one-time triple-stage build; the
     # sparql entries then measure pure query cost over the parquet stage

@@ -1476,6 +1476,78 @@ FROM b, range(0, {multimodal.FEATURE_DIM}) t(i)
 SQL_MULTIMODAL_FEATURES = _sql_multimodal()
 
 
+def _decode_features(spark: SparkSession, sf_dir: str, parity: int) -> DataFrame:
+    """REAL decode path: synthesize well-formed media payloads (even
+    doc_ids -> 8x8 P6 pixmaps, odd -> 64-sample PCM16 WAVE) with pure
+    Column expressions, decode them with the pure-Python Netpbm/WAVE
+    decoders inside the Arrow mapInPandas stage (fake=False — a parse
+    failure would throw, so green means the decoders ran), featurize,
+    posexplode to scalar rows."""
+    docs = _load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == parity
+    )
+    mm = multimodal.attach_real_payload(docs)
+    feats = multimodal.extract_features(mm, fake=False)
+    return feats.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                "features",
+                lambda x: F.floor(x.cast("double") * F.lit(10000.0)).cast("long"),
+            )
+        ).alias("bin", "value_bp"),
+        "n_bytes",
+    ).withColumn("bin", F.col("bin").cast("long"))
+
+
+def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_features(spark, sf_dir, parity=0)
+
+
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _decode_features(spark, sf_dir, parity=1)
+
+
+# the image payload is an 11-byte "P6\n8 8\n255\n" header + 192 pixel
+# bytes = repeat(md5(text), 6); decoded pixels are exactly those bytes,
+# so the expected histogram is computable from md5(text) analytically
+SQL_MULTIMODAL_DECODE_PPM = f"""
+WITH b AS (
+    SELECT doc_id, [ascii(x) FOR x IN split(repeat(md5(text), 6), '')] AS bytes
+    FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS bin,
+       CAST(floor(CAST(CAST(
+           CAST(len([y FOR y IN bytes IF y >= i * 16 AND y < i * 16 + 16]) AS DOUBLE)
+           / 192.0 AS REAL) AS DOUBLE) * 10000.0) AS BIGINT) AS value_bp,
+       CAST(203 AS BIGINT) AS n_bytes
+FROM b, range(0, {multimodal.FEATURE_DIM}) t(i)
+"""
+
+# the audio payload is a constant 44-byte PCM16 header + 128 data bytes
+# = repeat(md5(text), 4); wave yields 64 little-endian int16 samples
+# (lo byte first), normalized /32768 into [-1, 1) — reproduced below
+# from the hex text (1-indexed: hx[2i+1] is the low byte of sample i)
+SQL_MULTIMODAL_DECODE_WAV = f"""
+WITH h AS (
+    SELECT doc_id, repeat(md5(text), 4) AS hx
+    FROM documents WHERE doc_id % 2 = 1
+), s AS (
+    SELECT doc_id,
+           [(ascii(hx[2*i+1]) + 256 * ascii(hx[2*i+2])) / 32768.0
+            FOR i IN generate_series(0, 63)] AS samples
+    FROM h
+)
+SELECT doc_id, CAST(i AS BIGINT) AS bin,
+       CAST(floor(CAST(CAST(
+           CAST(len([v FOR v IN samples
+                     IF v >= i / 8.0 - 1 AND v < (i + 1) / 8.0 - 1]) AS DOUBLE)
+           / 64.0 AS REAL) AS DOUBLE) * 10000.0) AS BIGINT) AS value_bp,
+       CAST(172 AS BIGINT) AS n_bytes
+FROM s, range(0, {multimodal.FEATURE_DIM}) t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # 26-28. SPARQL SELECT over the materialized triple table (§2.12 — the
 #        DataFrame replacement for the reference's query rewriting).
@@ -2385,6 +2457,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kg_canonical_map": (q_kg_canonical_map, SQL_KG_CANONICAL_MAP),
     "kg_triples_canonical": (q_kg_triples_canonical, SQL_KG_TRIPLES_CANONICAL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_decode_ppm": (q_multimodal_decode_ppm, SQL_MULTIMODAL_DECODE_PPM),
+    "multimodal_decode_wav": (q_multimodal_decode_wav, SQL_MULTIMODAL_DECODE_WAV),
     "sparql_bgp_join": (q_sparql_bgp_join, SQL_SPARQL_BGP_JOIN),
     "sparql_optional_filter": (q_sparql_optional_filter, SQL_SPARQL_OPTIONAL_FILTER),
     "sparql_numeric_filter": (q_sparql_numeric_filter, SQL_SPARQL_NUMERIC_FILTER),

@@ -399,3 +399,92 @@ def test_vocab_topk(spark, docs):
     for i in range(len(out) - 1):
         if out[i]["n"] == out[i + 1]["n"]:
             assert out[i]["token"] < out[i + 1]["token"]
+
+
+def test_ppm_decoder_variants():
+    """Pure-Python Netpbm decoder: P6/P5 binary, P3/P2 ASCII, header
+    comments, and the error paths (bad magic, truncation, wide maxval)."""
+    import numpy as np
+
+    pix = bytes(range(24))
+    arr = multimodal.decode_ppm(b"P6\n4 2\n255\n" + pix)
+    assert arr.shape == (2, 4, 3) and bytes(arr.reshape(-1)) == pix
+    g = multimodal.decode_ppm(b"P5\n# a comment\n4 2\n255\n" + pix[:8])
+    assert g.shape == (2, 4) and bytes(g.reshape(-1)) == pix[:8]
+    a3 = multimodal.decode_ppm(
+        b"P3\n2 1\n255\n" + b" ".join(str(v).encode() for v in pix[:6])
+    )
+    assert a3.shape == (1, 2, 3) and a3.reshape(-1).tolist() == list(pix[:6])
+    a2 = multimodal.decode_ppm(b"P2 2 2 255 9 8 7 6")
+    assert a2.reshape(-1).tolist() == [9, 8, 7, 6]
+    # P6 pixel data may start with a byte that looks like whitespace:
+    # only ONE separator byte after maxval is consumed
+    sp = bytes([32, 10, 13]) * 4
+    arr = multimodal.decode_ppm(b"P6\n2 2\n255\n" + sp)
+    assert bytes(arr.reshape(-1)) == sp
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P7\n1 1\n255\nxxx")
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n4 2\n255\n" + pix[:10])
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n" + pix[:6])
+    # decode_image dispatches Netpbm payloads to the real decoder
+    assert np.array_equal(
+        multimodal.decode_image(b"P6\n4 2\n255\n" + pix),
+        multimodal.decode_ppm(b"P6\n4 2\n255\n" + pix),
+    )
+
+
+def test_wav_decoder_widths():
+    """stdlib-wave PCM decoder: 8/16-bit widths normalize to
+    [-1, 1) float32; non-RIFF payloads raise."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    def make(width, frames):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return bio.getvalue()
+
+    s8 = multimodal.decode_audio(make(1, bytes([0, 128, 255])))
+    assert np.allclose(s8, [(0 - 128) / 128, 0.0, 127 / 128])
+    s16 = multimodal.decode_audio(
+        make(2, struct.pack("<3h", -32768, 0, 32767))
+    )
+    assert np.allclose(s16, [-1.0, 0.0, 32767 / 32768])
+    assert s16.dtype == np.float32
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"OggS....")
+
+
+def test_real_payload_decode_end_to_end(spark, docs):
+    """attach_real_payload synthesizes parseable P6/WAVE bytes with
+    pure Column expressions; extract_features(fake=False) drives the
+    REAL decoders inside mapInPandas and the histograms land in the
+    value bins the md5-hex alphabet implies (digits -> bin 3 images /
+    bins 8-15 audio; hex letters -> bin 6 images)."""
+    media = multimodal.attach_real_payload(docs)
+    feats = {r["doc_id"]: r for r in
+             multimodal.extract_features(media, fake=False).collect()}
+    for doc_id, r in feats.items():
+        v = r["features"]
+        assert abs(sum(v) - 1.0) < 1e-5
+        if doc_id % 2 == 0:  # P6 image: 192 hex-char pixels
+            assert r["n_bytes"] == 203
+            assert v[3] + v[6] == pytest.approx(1.0)
+        else:  # WAVE: 64 positive small samples
+            assert r["n_bytes"] == 172
+            assert sum(v[8:]) == pytest.approx(1.0)
+    # decode is the real parser: corrupting the header must throw
+    bad = media.withColumn(
+        "payload", F.concat(F.lit(b"XX"), F.col("payload"))
+    )
+    with pytest.raises(Exception):
+        multimodal.extract_features(bad, fake=False).collect()
