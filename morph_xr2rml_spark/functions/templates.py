@@ -123,7 +123,14 @@ def template_parts(template: str) -> list[object]:
 
 def get_template_matching(template: str, iri: str) -> dict[str, str]:
     """Inverse template match (getTemplateMatching :36-69): recover group
-    values from an IRI by turning each group into a lazy regex group."""
+    values from an IRI by turning each group into a lazy regex group.
+
+    Divergence from the reference: groups match ``(.*?)`` not ``(.+?)``
+    — the forward renderer emits a term when a reference evaluates to
+    the EMPTY STRING (only None drops the term), so the inverse match
+    must accept empty group values or the rewriting binder would prune
+    branches the materializer provably emits (found by the doc-source
+    DESCRIBE differential: ``tag/{$.tag}`` with ``tag: ""``)."""
     tpl = template if template.startswith("<") else "<" + template
     if not tpl.endswith(">"):
         tpl = tpl + ">"
@@ -134,7 +141,7 @@ def get_template_matching(template: str, iri: str) -> dict[str, str]:
     groups = get_template_groups(template)
     pattern = tpl
     for g in groups:
-        pattern = pattern.replace("{" + g + "}", "(.+?)", 1)
+        pattern = pattern.replace("{" + g + "}", "(.*?)", 1)
     m = re.search(pattern, uri)
     if not m:
         return {}

@@ -181,6 +181,10 @@ def _iri_can_match(term_map, iri_term: str, options: CompileOptions) -> bool:
     if term_map.kind == CONSTANT:
         return _constant_term(term_map, options) == iri_term
     if term_map.kind == TEMPLATE and _template_invariant(term_map.template):
+        if not get_template_groups(term_map.template):
+            # a group-less template renders its fixed text verbatim
+            # (invariant => the encoding chain is the identity on it)
+            return term_map.template == iri_term[1:-1]
         return bool(get_template_matching(term_map.template, iri_term[1:-1]))
     return True
 
@@ -1589,7 +1593,7 @@ class VirtualGraph:
             (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
         )
 
-    def describe_where(self, query: str, max_nodes: int = 10_000) -> DataFrame:
+    def describe_where(self, query: str, max_nodes: int = 50_000) -> DataFrame:
         """``DESCRIBE ?v [?w ...] WHERE {...}``, two-phase virtual
         (expandDescribe analogue, MorphBaseQueryTranslator.scala:86-92,
         which also answers DESCRIBE without materializing):
@@ -1604,7 +1608,12 @@ class VirtualGraph:
 
         Above the bound the node set is no longer driver-safe, so the
         evaluation falls back to the fully distributed
-        materialize-then-describe path (two semi-joins)."""
+        materialize-then-describe path (two semi-joins). The default
+        bound is 50k terms (a few MB on the driver): past _ISIN_MAX the
+        phase-2 restriction is a broadcast semi-join, so large node
+        sets stay cheap — measured at sf0.1 (~15k matched customers),
+        two-phase runs 2-2.6x faster than the fallback it previously
+        hit at the old 10k bound."""
         from .bgp import _strip_comments
 
         stripped = _strip_comments(query)

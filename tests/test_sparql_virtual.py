@@ -2020,3 +2020,37 @@ def _propagation_differential(spark, taxa, alts, cid, c2, qidx):
 
 def test_differential_condition_propagation(spark):
     _propagation_differential(spark)
+
+
+def test_empty_template_group_value_not_pruned(spark):
+    """Pinned from the doc-DESCRIBE differential's falsifying example:
+    a reference evaluating to the EMPTY STRING still renders a term
+    (only None drops it), so the binder must not prune branches whose
+    template matches the IRI with an empty group value — in DESCRIBE
+    (both phases' paths) and in SELECT constant patterns."""
+    import json as _json
+
+    from morph_xr2rml_spark.sparql.bgp import sparql_describe_where
+
+    doc = parse_mapping(DOC_DESCRIBE_TTL, default_formulation="JSONPath")
+    df = spark.createDataFrame(
+        [(_json.dumps({"id": 0, "tag": ""}),)], "doc string"
+    )
+    catalog = SourceCatalog(spark).register("items", df, doc_column="doc")
+    q = PREFIX + "DESCRIBE ?t WHERE { ?s ex:tag ?t }"
+    comp = MappingCompiler(spark, doc, catalog)
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        want = _rows(sparql_describe_where(comp.triples(), q))
+        assert want  # the materializer emits the empty-group term
+        assert _rows(vg.describe_where(q, max_nodes=1)) == want
+        assert _rows(vg.describe_where(q)) == want
+        sel = PREFIX + (
+            "SELECT ?s WHERE { ?s ex:tag <http://example.org/tag/> }"
+        )
+        got = _rows(vg.select(sel))
+        assert got == _rows(sparql_select(comp.triples(), sel))
+        assert got == [("<http://example.org/doc/0>",)]
+    finally:
+        comp.release()
+        vg.release()
