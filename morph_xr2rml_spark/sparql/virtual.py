@@ -1006,9 +1006,27 @@ def _prop_scan_filter(
             return None
         if not _template_invariant(term_map.template):
             return None
-        if _template_shape(term_map.template) != shape:
-            return None
         if term_map.infer_term_type() != ttype:
+            return None
+        if shape is None:
+            # a TERM-level constraint (VALUES inline data): invert each
+            # node against THIS target's template — non-matching nodes
+            # provably never come from this branch (dropped from the
+            # key set; an empty set filters the branch to nothing),
+            # non-exact inversions disable the filter entirely
+            if _template_shape(term_map.template) is None:
+                return None
+            keys: list[str] = []
+            for n in vals:
+                match = get_template_matching(term_map.template, n[1:-1])
+                if len(match) != 1:
+                    continue
+                value = next(iter(match.values()))
+                if not _UNRESERVED.match(value):
+                    return None
+                keys.append(value)
+            vals = tuple(keys)
+        elif _template_shape(term_map.template) != shape:
             return None
         if src is not None:
             col = _single_column_template(term_map)
@@ -1021,6 +1039,8 @@ def _prop_scan_filter(
         field = _simple_json_field(groups[0]) if len(groups) == 1 else None
         if field is None or len(vals) > 64:
             return None
+        if not vals:
+            return F.lit(False)
         cond = _doc_value_filter(doc, field, vals[0])
         for v in vals[1:]:
             cond = cond | _doc_value_filter(doc, field, v)
@@ -1181,16 +1201,32 @@ class VirtualGraph:
         REQUIRED top-level patterns (conjunctive, so each constrains all
         solutions), and only when every binding of the pattern agrees on
         the variable's template/type (the values union over bindings).
-        Purely driver-side over the mapping tree."""
+        Purely driver-side over the mapping tree.
+
+        Top-level VALUES inline data adds TERM-level constraints (shape
+        None): every solution binds the variable to one of the listed
+        IRI terms, so each target binding inverts the terms against its
+        own template — the rewriting analogue of pushing a VALUES join
+        into the source scans."""
+        prop: dict[str, list[tuple[object, str, tuple[str, ...]]]] = {}
+        for vars_, rows in q.where.values:
+            if not rows or len(rows) > 256:
+                continue  # empty: query is empty anyway; huge: not a scan filter
+            for vi, name in enumerate(vars_):
+                col = [r[vi] for r in rows]
+                if any(t is None or not t.startswith("<") for t in col):
+                    continue  # UNDEF or non-IRI rows: unconstrained
+                prop.setdefault("?" + name, []).append(
+                    (None, terms.TERM_IRI, tuple(sorted(set(col))))
+                )
         if not quads:
             gctx = _ANY_GRAPH
         elif dataset:
             gctx = frozenset(q.from_graphs)
             if not gctx:
-                return {}
+                return prop
         else:
             gctx = None
-        prop: dict[str, list[tuple[str, str, tuple[str, ...]]]] = {}
         for tp in q.where.patterns:
             if isinstance(tp.p, Path):
                 continue

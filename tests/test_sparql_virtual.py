@@ -2054,3 +2054,96 @@ def test_empty_template_group_value_not_pruned(spark):
     finally:
         comp.release()
         vg.release()
+
+
+def test_values_inline_data_pushes_node_keys(spark, tmp_path):
+    """Top-level VALUES constrains its variable in every solution, so
+    the inverted node keys reach each binding's scan as a typed IN
+    filter — the rewriting analogue of pushing the VALUES join into the
+    source read."""
+    import re as _re
+
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { "
+        "VALUES ?t { <http://example.org/taxon/60585> "
+        "<http://example.org/taxon/60586> } "
+        "?t ex:altLabel ?a }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(q)
+        fmt, by_table = _scan_filters_by_table(spark, frag)
+        assert any(
+            _re.search(r"In\(code, \[60585,60586\]", ln)
+            for ln in by_table.get("alts", [])
+        ), fmt
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    assert got == want
+    assert {r[0] for r in got} == {
+        "<http://example.org/taxon/60585>",
+        "<http://example.org/taxon/60586>",
+    }
+
+
+def test_values_with_undef_or_literals_not_pushed(spark, tmp_path):
+    """UNDEF rows (or non-IRI rows) leave the variable unconstrained —
+    no scan filter may fire, and answers stay exact."""
+    import re as _re
+
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { "
+        "VALUES ?t { <http://example.org/taxon/60585> UNDEF } "
+        "?t ex:altLabel ?a }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        frag = vg.fragment(q)
+        fmt, by_table = _scan_filters_by_table(spark, frag)
+        assert not any(
+            _re.search(r"(In|EqualTo)\(code", ln)
+            for ln in by_table.get("alts", [])
+        ), fmt
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    assert got == want
+    # UNDEF joins with every taxon that has an alt label
+    assert ("<http://example.org/taxon/60586>",
+            "<http://example.org/label/3>") in got
+
+
+def test_values_unmatchable_term_filters_branch_to_nothing(spark, tmp_path):
+    """A VALUES term no template can render keys an empty IN set (the
+    branch provably contributes nothing), and the answer is empty in
+    both modes."""
+    doc, catalog = _prop_setup(spark, tmp_path)
+    q = (
+        PREFIX + "SELECT ?t ?a WHERE { "
+        "VALUES ?t { <http://example.org/other/1> } "
+        "?t ex:altLabel ?a }"
+    )
+    vg = VirtualGraph(spark, doc, catalog)
+    try:
+        got = _rows(vg.select(q))
+    finally:
+        vg.release()
+    comp = MappingCompiler(spark, doc, catalog)
+    try:
+        want = _rows(sparql_select(comp.triples(), q))
+    finally:
+        comp.release()
+    assert got == want == []
