@@ -834,10 +834,17 @@ class MappingCompiler:
         if not conds:
             return None
         if ls == pls and all(jc.child_ref == jc.parent_ref for jc in conds):
+            if not self._selfjoin_eliminable(ls, pls, conds):
+                return None  # real cross-row join: generic _rom_pairs path
+            nn_cols = self._elim_notnull_cols(conds, ls, doc_col)
+            if nn_cols is None:
+                return None
             psubj = self._compile_term_map(parent_tm.subject_map, raw_base, doc_col)
             if psubj.is_array or psubj.refs is None:
                 return None
-            return tuple(set(subj.refs or ()) | set(psubj.refs))
+            return tuple(
+                set(subj.refs or ()) | set(psubj.refs) | set(nn_cols)
+            )
         if not all(
             self._is_simple_ref(jc.child_ref, ls)
             and self._is_simple_ref(jc.parent_ref, pls)
@@ -877,13 +884,23 @@ class MappingCompiler:
         if not conds:
             return None
         if ls == pls and all(jc.child_ref == jc.parent_ref for jc in conds):
-            # self-join-eliminated case: parent subject is computable on
-            # the child row — an ordinary scalar pushdown pair
-            psubj = self._compile_term_map(parent_tm.subject_map, raw_base, doc_col)
+            # self-join-eliminated case (when provably sound — unique
+            # shared ref + non-null proof, see _selfjoin_eliminable):
+            # parent subject is computable on the child row — an
+            # ordinary scalar pushdown pair over the ref-bearing rows
+            if not self._selfjoin_eliminable(ls, pls, conds):
+                return None  # real cross-row join: generic _rom_pairs path
+            nn_cols = self._elim_notnull_cols(conds, ls, doc_col)
+            if nn_cols is None:
+                return None
+            pruned = raw_base
+            for jc in conds:
+                pruned = pruned.where(self._ref_notnull(jc.child_ref, ls, doc_col))
+            psubj = self._compile_term_map(parent_tm.subject_map, pruned, doc_col)
             if psubj.is_array or psubj.refs is None:
                 return None
             return self._keyed_branch(
-                raw_base, subj, psubj, pred_value, graph, self._unique_key(tm)
+                pruned, subj, psubj, pred_value, graph, self._unique_key(tm)
             )
         if not all(
             self._is_simple_ref(jc.child_ref, ls)
@@ -1362,23 +1379,37 @@ class MappingCompiler:
         pairs for a RefObjectMap."""
         ls, pls = tm.logical_source, parent_tm.logical_source
 
-        # --- self-join elimination (xrr:uniqueRef / same-source case)
-        if (
-            ls == pls
-            and rom.join_conditions
-            and all(jc.child_ref == jc.parent_ref for jc in rom.join_conditions)
-        ):
+        # --- self-join elimination (same-source, same-reference join).
+        # Sound ONLY when (a) some shared reference is provably UNIQUE
+        # across source rows — the reference guards the same rewrite
+        # with xrr:uniqueRef (MorphBaseQueryOptimizer) — since otherwise
+        # two DIFFERENT rows with equal keys also join (round-5 fix: the
+        # unguarded rewrite dropped those cross-row pairs), and (b)
+        # every shared reference provably evaluates to a value on the
+        # row (a nothing-valued reference joins nothing in the value-
+        # intersection semantics). Anything not provable falls through
+        # to the real join below — always correct, just uneliminated.
+        if self._selfjoin_eliminable(ls, pls, rom.join_conditions):
             _, doc_col = self._resolved_base(tm)
-            psubj = self._compile_term_map(parent_tm.subject_map, base, doc_col)
-            if psubj.is_array:
-                out = base.select(
-                    "__row_id", "__subj", F.explode(psubj.col).alias("__psubj")
+            nns = [
+                self._ref_notnull(jc.child_ref, ls, doc_col)
+                for jc in rom.join_conditions
+            ]
+            if all(nn is not None for nn in nns):
+                pruned = base
+                for nn in nns:
+                    pruned = pruned.where(nn)
+                psubj = self._compile_term_map(
+                    parent_tm.subject_map, pruned, doc_col
                 )
-            else:
-                out = base.select(
+                if psubj.is_array:
+                    return pruned.select(
+                        "__row_id", "__subj",
+                        F.explode(psubj.col).alias("__psubj"),
+                    )
+                return pruned.select(
                     "__row_id", "__subj", psubj.col.alias("__psubj")
                 ).where(F.col("__psubj").isNotNull())
-            return out
 
         pdf, pdoc = self._parent_side(parent_tm)
         psubj = self._compile_term_map(parent_tm.subject_map, pdf, pdoc)
@@ -1451,6 +1482,66 @@ class MappingCompiler:
         if ls.formulation != "Column":
             return False
         return MixedSyntaxPath.parse(ref, "Column").is_simple_column
+
+    def _selfjoin_eliminable(self, ls, pls, conds) -> bool:
+        """Same-source same-reference ROM joins collapse to the child
+        row itself ONLY when some shared reference is provably unique
+        across rows (xrr:uniqueRef — the reference's own guard — or the
+        catalog's single-column unique-key hint); with a non-unique key
+        two different rows with equal keys also join."""
+        return (
+            ls == pls
+            and not ls.iterator
+            and bool(conds)
+            and all(jc.child_ref == jc.parent_ref for jc in conds)
+            and any(self._ref_unique(jc.child_ref, ls) for jc in conds)
+        )
+
+    def _elim_notnull_cols(self, conds, ls, doc_col) -> tuple[str, ...] | None:
+        """Source columns the elimination's non-null guards read, or
+        None when some guard is not cheaply expressible (the caller
+        then falls back to the real join)."""
+        cols: set[str] = set()
+        for jc in conds:
+            if self._ref_notnull(jc.child_ref, ls, doc_col) is None:
+                return None
+            if self._is_simple_ref(jc.child_ref, ls):
+                cols.add(
+                    MixedSyntaxPath.parse(jc.child_ref, "Column").referenced_column
+                )
+            elif doc_col is not None:
+                cols.add(doc_col)
+        return tuple(cols)
+
+    def _ref_unique(self, ref: str, ls: LogicalSource) -> bool:
+        """Is the join reference provably unique across source rows?
+        Either declared (xrr:uniqueRef — the reference's own guard for
+        self-join elimination) or, for table sources, the catalog's
+        unique-key hint covering exactly the referenced column."""
+        if ref in ls.unique_refs:
+            return True
+        if ls.kind == "table" and not ls.iterator and self._is_simple_ref(ref, ls):
+            col = MixedSyntaxPath.parse(ref, "Column").referenced_column
+            return self.catalog.unique_keys.get(ls.value) == (col,)
+        return False
+
+    def _ref_notnull(self, ref: str, ls: LogicalSource, doc_col: str | None):
+        """Column proving 'this reference evaluates to at least one
+        value on the row' (matching _ref_values' None-dropping), or
+        None when not cheaply expressible."""
+        from ..functions.paths import simple_json_field
+
+        if self._is_simple_ref(ref, ls):
+            return F.col(
+                MixedSyntaxPath.parse(ref, "Column").referenced_column
+            ).isNotNull()
+        if ls.formulation == "JSONPath" and doc_col is not None:
+            field = simple_json_field(ref)
+            if field is not None:
+                return F.get_json_object(
+                    F.col(doc_col), "$." + field
+                ).isNotNull()
+        return None
 
     def _ref_values(
         self, ref: str, ls: LogicalSource, df: DataFrame, doc_col: str | None

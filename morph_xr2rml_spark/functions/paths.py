@@ -420,3 +420,27 @@ _EVALUATORS = {
     "CSV": _eval_csv,
     "TSV": _eval_tsv,
 }
+
+
+def simple_json_field(expr: str) -> str | None:
+    """``$.a.b`` -> ``a.b`` when the reference is ONE JSONPath step of
+    plain field accesses (no wildcard / descent / index / filter), i.e.
+    exactly the shape Spark's ``get_json_object`` evaluates identically;
+    else None. Shared by virtual-mode constant pushdown and the
+    compiler's self-join-elimination guards (callers wanting ``$._id``
+    rewriting apply ``rewrite_mongo_id`` first — its ``$oid`` segment is
+    rejected here, as get_json_object cannot address it)."""
+    msp = MixedSyntaxPath.parse(expr, "JSONPath")
+    if len(msp.steps) != 1 or msp.steps[0].kind != "JSONPath":
+        return None
+    steps = _jp_tokenize(msp.steps[0].expr)
+    if not steps:
+        return None
+    fields: list[str] = []
+    for s in steps:
+        if not isinstance(s, str) or not re.match(
+            r"^[A-Za-z_][A-Za-z0-9_]*$", s
+        ):
+            return None
+        fields.append(s)
+    return ".".join(fields)

@@ -604,23 +604,13 @@ def _object_pushdown(
 
 
 def _simple_json_field(expr: str) -> str | None:
-    """``$.a.b`` -> ``a.b`` when the reference is ONE JSONPath step of
-    plain field accesses (no wildcard / descent / index / filter), i.e.
-    exactly the shape ``get_json_object`` evaluates identically; else
-    None. ``$._id`` rewrites to ``$._id.$oid`` whose ``$oid`` segment is
-    rejected here (get_json_object cannot address it)."""
-    msp = MixedSyntaxPath.parse(rewrite_mongo_id(expr), "JSONPath")
-    if len(msp.steps) != 1 or msp.steps[0].kind != "JSONPath":
-        return None
-    steps = _jp_tokenize(msp.steps[0].expr)
-    if not steps:
-        return None
-    fields: list[str] = []
-    for s in steps:
-        if not isinstance(s, str) or not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", s):
-            return None
-        fields.append(s)
-    return ".".join(fields)
+    """``$.a.b`` -> ``a.b`` when get_json_object evaluates the
+    reference identically (see functions.paths.simple_json_field);
+    ``$._id`` rewrites to ``$._id.$oid`` whose ``$oid`` segment is
+    rejected there."""
+    from ..functions.paths import simple_json_field
+
+    return simple_json_field(rewrite_mongo_id(expr))
 
 
 def _doc_value_filter(doc: Column, field: str, value: str) -> Column:
