@@ -1380,14 +1380,36 @@ class VirtualGraph:
                 filtered, shared = entries, []
             else:
                 filtered, shared = [], entries
-            for tp, gctx, detail, cond in filtered:
+            # filtered entries with the SAME pruning and the SAME filter
+            # expression share one compile (e.g. two patterns over one
+            # map constrained by the same propagated variable —
+            # ``?t :alt ?a . ?t :alt ?b`` — would otherwise scan the
+            # filtered source once per pattern); expression-string
+            # equality is the grouping key, conservative but exact
+            fgroups: dict[tuple[str, str], list] = {}
+            for e in filtered:
+                key = (repr(e[2]), str(e[3]._jc))
+                fgroups.setdefault(key, []).append(e)
+            for group in fgroups.values():
+                _tp0, _g0, detail, cond = group[0]
+                if len(group) == 1:
+                    pruned_tm = _detail_to_tm(tm, detail)
+                else:
+                    pruned_tm = _merge_details(
+                        tm, [d for _t, _g, d, _c in group]
+                    )
                 frame = self._compile_tm(
                     tm_name,
-                    _detail_to_tm(tm, detail),
+                    pruned_tm,
                     self._filtered_catalog(tables[tm_name], cond),
                     quads=quads,
                 )
-                if frame is not None:
+                if frame is None:
+                    continue
+                if len(group) > 1:
+                    frame = caching.cache(frame)
+                    self._persisted.append(frame)
+                for tp, gctx, _d, _c in group:
                     frames.append(self._residual(frame, tp, gctx))
             if not shared:
                 continue
