@@ -200,13 +200,52 @@ _TOKEN_RE = re.compile(
 _RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
 
+# reserved (non-PN_PREFIX) key under which the prologue's BASE IRI
+# rides in the prefixes dict, so every _expand call site resolves
+# relative IRIREFs without a signature change
+_BASE_KEY = "\x00base"
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
 def _expand(tok: str, prefixes: dict[str, str]) -> str:
     if tok == "a":
         return _RDF_TYPE
     m = re.match(r"^([\w.-]*):([\w.%-]*)$", tok)
     if m and m.group(1) in prefixes:
         return f"<{prefixes[m.group(1)]}{m.group(2)}>"
+    base = prefixes.get(_BASE_KEY)
+    if (
+        base
+        and tok.startswith("<")
+        and tok.endswith(">")
+        and not _SCHEME_RE.match(tok[1:-1])
+    ):
+        # prologue BASE: relative IRIREFs resolve per RFC 3986 (the
+        # Jena-backed reference resolves them; leaving them verbatim
+        # silently matched nothing)
+        from urllib.parse import urljoin
+
+        return f"<{urljoin(base, tok[1:-1])}>"
     return tok
+
+
+def _parse_prologue(text: str) -> dict[str, str]:
+    """PREFIX map + the BASE IRI (under _BASE_KEY) from the prologue;
+    relative PREFIX IRIs themselves resolve against BASE."""
+    from urllib.parse import urljoin
+
+    prefixes = dict(_PREFIX_RE.findall(text))
+    span = _PROLOGUE_RE.match(_strip_comments(text))
+    mb = re.search(r"\bBASE\s*<([^>]*)>", span.group(0), re.IGNORECASE)
+    if mb:
+        base = mb.group(1)
+        prefixes = {
+            k: v if _SCHEME_RE.match(v) else urljoin(base, v)
+            for k, v in prefixes.items()
+        }
+        prefixes[_BASE_KEY] = base
+    return prefixes
 
 
 # prefix-name part: PN_PREFIX permits interior dots (SPARQL 1.1
@@ -280,7 +319,12 @@ def _strip_comments(text: str) -> str:
 
 def parse_sparql(text: str) -> SelectQuery:
     text = _strip_comments(text)
-    prefixes = dict(_PREFIX_RE.findall(text))
+    prefixes = _parse_prologue(text)
+    end = _PROLOGUE_RE.match(text).end()
+    text = (
+        re.sub(r"\bBASE\s*<[^>]*>", " ", text[:end], flags=re.IGNORECASE)
+        + text[end:]
+    )
     body = _PREFIX_RE.sub("", text)
     return _parse_select(body, prefixes)
 
@@ -1962,8 +2006,10 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     from the WHERE bindings -> a new (subj, pred, obj) DataFrame
     (S9's CONSTRUCT->RDF path). Unbound-variable rows are dropped per
     SPARQL semantics; output is deduplicated (graph set semantics)."""
-    prefixes = dict(_PREFIX_RE.findall(query))
-    body = _PREFIX_RE.sub("", query)
+    prefixes = _parse_prologue(query)
+    body = _PREFIX_RE.sub(
+        "", re.sub(r"\bBASE\s*<[^>]*>", " ", query, flags=re.IGNORECASE)
+    )
     mc = _CONSTRUCT_RE.search(body)
     if mc:
         template = _parse_triples(mc.group("template"), prefixes)

@@ -1558,11 +1558,14 @@ class VirtualGraph:
             _expand,
             _match_brace,
             _parse_group,
+            _parse_prologue,
             _parse_triples,
         )
 
-        prefixes = dict(_PREFIX_RE.findall(query))
-        body = _PREFIX_RE.sub("", query)
+        prefixes = _parse_prologue(query)
+        body = _PREFIX_RE.sub(
+            "", re.sub(r"\bBASE\s*<[^>]*>", " ", query, flags=re.IGNORECASE)
+        )
         from_graphs: list[str] = []
         from_named: list[str] = []
         mc = _CONSTRUCT_RE.search(body)

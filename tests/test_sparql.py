@@ -1523,3 +1523,38 @@ def test_describe_where_comment_between_vars_and_where(triples):
     got = rows(sparql_describe_where(triples, commented))
     assert got == rows(sparql_describe_where(triples, plain))
     assert (f"<{EX}p/1>", f"<{EX}name>", '"alice"') in got
+
+
+def test_base_declaration_resolves_relative_iris(triples):
+    """Prologue BASE: relative IRIREFs (and relative PREFIX IRIs)
+    resolve per RFC 3986 before matching — the Jena-backed reference
+    resolves them; leaving them verbatim silently matched nothing."""
+    q_abs = (
+        "PREFIX ex: <http://example.org/>\n"
+        "SELECT ?a ?n WHERE { ?a ex:knows ?b . ?a ex:name ?n }"
+    )
+    want = rows(sparql_select(triples, q_abs))
+    assert want
+    q_base = (
+        "BASE <http://example.org/>\n"
+        "SELECT ?a ?n WHERE { ?a <knows> ?b . ?a <name> ?n }"
+    )
+    assert rows(sparql_select(triples, q_base)) == want
+    # relative PREFIX IRI resolves against BASE too
+    q_pref = (
+        "BASE <http://example.org/x/y>\n"
+        "PREFIX ex: <./>\n"
+        "SELECT ?a ?n WHERE { ?a ex:knows ?b . ?a ex:name ?n }"
+    )
+    # <./> against http://example.org/x/y -> http://example.org/x/ ;
+    # rebase so the terms land on the fixture's namespace instead
+    q_pref = q_pref.replace("<http://example.org/x/y>", "<http://example.org/z>")
+    # ./ against http://example.org/z -> http://example.org/
+    assert rows(sparql_select(triples, q_pref)) == want
+    # absolute IRIs are untouched by BASE
+    q_mix = (
+        "BASE <http://other.org/>\n"
+        "SELECT ?a ?n WHERE { ?a <http://example.org/knows> ?b . "
+        "?a <http://example.org/name> ?n }"
+    )
+    assert rows(sparql_select(triples, q_mix)) == want
