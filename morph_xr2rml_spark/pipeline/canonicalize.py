@@ -1,20 +1,24 @@
 """Entity canonicalization: connected components over sameAs edges,
 then subj/obj rewrite of the triple table through the canonical map.
 
-Algorithm: iterative min-label propagation (the GraphFrames-free
-fallback SURVEY §7 calls for — GraphFrames is not in this environment).
-Each iteration: every node takes the min label among itself and its
-neighbors (one join + one groupBy, both partial-aggregated). Converges
-in O(diameter) rounds; sameAs graphs are shallow (alias chains + hub
-cliques), so this beats the constant-factor-heavy large-star/small-star
-alternation until diameters get pathological. Each round is pinned with
-a parquet-checkpoint lineage cut (plans.caching.checkpoint_parquet) —
-persist alone leaves the logical plan doubling per round (each round
-references the previous labels twice), and Spark 4's localCheckpoint
-throws ``key not found: <attr>#<id>`` on AQE-finalized shuffle plans
-such as the union+distinct ``und`` edge set here. Convergence is
-detected with a count of changed labels (cheap: runs on the label
-table only).
+Algorithm: iterative min-label propagation with pointer jumping (the
+GraphFrames-free fallback SURVEY §7 calls for — GraphFrames is not in
+this environment). Each iteration: every node takes the min label
+among itself and its neighbors (one join + one groupBy, both
+partial-aggregated), then labels compose once through a label-to-label
+self-join (path shortcutting a la Shiloach-Vishkin), so the distance a
+min label covers doubles per round — O(log diameter) rounds instead of
+O(diameter), without the constant-factor-heavy large-star/small-star
+edge rewriting. Each round is pinned with a parquet-checkpoint lineage
+cut (plans.caching.checkpoint_parquet) — persist alone leaves the
+logical plan doubling per round (each round references the previous
+labels twice), and Spark 4's localCheckpoint throws ``key not found:
+<attr>#<id>`` on AQE-finalized shuffle plans such as the
+union+distinct ``und`` edge set here. Convergence detection is folded
+into the round: each node's previous label rides through the
+aggregation as a side column (min ignores nulls), so the changed-check
+is a scan of the just-checkpointed round, not a join of two label
+tables.
 
 Skew note: a hub component funnels its whole frontier into one groupBy
 key per round. The groupBy is a min-aggregate — partial aggregation
@@ -70,25 +74,48 @@ def connected_components(
         scope,
     )
     for _ in range(max_iter):
-        # neighbor labels flow along edges; keep own label in the pool
+        # neighbor labels flow along edges; keep own label in the pool,
+        # riding the previous label along as __old (each node has
+        # exactly one labels row, and min() ignores the msgs nulls) so
+        # convergence needs no separate old-vs-new join
         msgs = und.join(
             labels.withColumnRenamed("node", "a"), "a"
         ).select(F.col("b").alias("node"), "component")
-        new_labels = _pin(
-            labels.unionByName(msgs)
+        agg = (
+            labels.withColumn("__old", F.col("component"))
+            .unionByName(
+                msgs.withColumn(
+                    "__old",
+                    F.lit(None).cast(labels.schema["component"].dataType),
+                )
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component")),
+            .agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
+        )
+        # pointer jump: compose each label through its own row
+        # (component-of-component), doubling the distance covered per
+        # round; min labels only ever decrease, so coalesce suffices
+        hop = agg.select(
+            F.col("node").alias("component"), F.col("component").alias("__cc")
+        )
+        new_labels = _pin(
+            agg.join(hop, "component", "left").select(
+                "node",
+                F.coalesce("__cc", "component").alias("component"),
+                "__old",
+            ),
             "cc_labels_",
             scope,
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
+            new_labels.where(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         scope.retire(keep=1)
         if changed == 0:
             break

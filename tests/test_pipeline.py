@@ -95,6 +95,22 @@ def test_connected_components(spark):
     assert cc["hub"] == cc["h1"] == cc["h2"] == cc["h3"] == "h1"
 
 
+def test_connected_components_deep_chain(spark):
+    """A path graph far deeper than max_iter: pointer jumping
+    (label-to-label composition each round) converges in O(log d)
+    rounds, so a 300-hop chain resolves inside the default 25-round
+    budget — plain propagation would exit unconverged at round 25."""
+    n = 300
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n)],
+        "src string, dst string",
+    )
+    cc = canonicalize.connected_components(edges)
+    comps = [r["component"] for r in cc.collect()]
+    assert len(comps) == n + 1
+    assert set(comps) == {"n0000"}
+
+
 def test_rewrite_triples(spark):
     triples = spark.createDataFrame(
         [
