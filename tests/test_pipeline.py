@@ -111,6 +111,49 @@ def test_connected_components_deep_chain(spark):
     assert set(comps) == {"n0000"}
 
 
+def test_connected_components_random_differential(spark):
+    """Randomized differential: pointer-jumped min-label propagation vs
+    a pure-Python union-find oracle over random graphs mixing isolated
+    edges, chains, stars, and dense blobs — the shapes that stress
+    round count, label monotonicity, and the folded convergence check
+    differently."""
+    import random
+
+    rng = random.Random(0xC0C0)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        nodes = [f"v{i:03d}" for i in range(n)]
+        edges = []
+        for _ in range(rng.randint(5, 2 * n)):
+            a, b = rng.choice(nodes), rng.choice(nodes)
+            if a != b:
+                edges.append((a, b))
+        if not edges:
+            continue
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {x: find(x) for x in touched}
+        got = {
+            r["node"]: r["component"]
+            for r in canonicalize.connected_components(
+                spark.createDataFrame(edges, "src string, dst string")
+            ).collect()
+        }
+        assert got == expected, f"trial {trial} diverged"
+
+
 def test_rewrite_triples(spark):
     triples = spark.createDataFrame(
         [
