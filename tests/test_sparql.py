@@ -1558,3 +1558,23 @@ def test_base_declaration_resolves_relative_iris(triples):
         "?a <http://example.org/name> ?n }"
     )
     assert rows(sparql_select(triples, q_mix)) == want
+
+
+def test_base_resolution_rfc3986_corners():
+    """Dot segments, same-document fragments, and network-path
+    references resolve per RFC 3986 §5 against the prologue BASE
+    (Jena's resolver semantics)."""
+    from morph_xr2rml_spark.sparql.bgp import parse_sparql
+
+    q = parse_sparql(
+        "BASE <http://ex.org/a/b/>\n"
+        "SELECT ?s WHERE { ?s <../p> ?o . ?s <./q> ?x . "
+        "?s <#f> ?y . ?s <//other.org/r> ?z }"
+    )
+    preds = [tp.p for tp in q.where.patterns]
+    assert preds == [
+        "<http://ex.org/a/p>",
+        "<http://ex.org/a/b/q>",
+        "<http://ex.org/a/b/#f>",
+        "<http://other.org/r>",
+    ]
