@@ -7,11 +7,17 @@ line:
      "calibration": {...}, "sf": ..., "triples_per_sec": ...,
      "scaling": {...}}
 
-"value"/"queries"/"triples_per_sec" are STEAL-NORMALIZED: per-query
-raw seconds divided by the phase's measured inflation factor from the
-fixed-work userspace calibration (see steal_calibration). The raw
-measurements always ride along in queries_raw / suite_seconds_raw /
-triples_per_sec_raw.
+"value"/"queries"/"triples_per_sec" are STEAL-NORMALIZED: each query's
+raw seconds divided by ITS OWN phase's measured inflation factor — the
+mean of the two fixed-work userspace calibration samples bracketing
+that query (see steal_calibration). Bracketing every query (not every
+8th) and running the control at full core width closed the two blind
+spots a contended end-of-round-4 run exposed: a mid-suite phase that
+inflates one query 3x barely moves a suite-mean factor, and an
+8-thread control on a 32-core box reads clean under any contention
+that leaves 8 cores free while 32-thread Spark stages slow
+proportionally. The raw measurements always ride along in
+queries_raw / suite_seconds_raw / triples_per_sec_raw.
 
 The scaling block is the sandbox proxy for BASELINE.json's two-cluster-
 size criterion: the SAME triple-materialization job over the SAME
@@ -115,19 +121,23 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "72"))
 # per-query inflation), so a raw suite number carries its phase and
 # round-over-round comparisons were noise (round-4 verdict, What's
 # wrong #2). Fix: time a FIXED piece of userspace work — sha256 over an
-# in-memory buffer, which releases the GIL, so a small thread pool
-# keeps cores busy with zero syscall/shuffle footprint — immediately
-# before, mid-way through, and after the suite. Steal and host CPU
-# contention are the only things that can slow it down, so
-# observed/reference is the phase's inflation factor.
-# Reference floor: min of 30+ samples across several phases on this
-# box (0.949s; floors are approached from above). The JSON records raw
+# in-memory buffer, which releases the GIL, so a thread pool keeps
+# cores busy with zero syscall/shuffle footprint — immediately before
+# the suite and after EVERY query. Steal and host CPU contention are
+# the only things that can slow it down, so observed/reference is the
+# phase's inflation factor. The pool is FULL core width (CPUS
+# threads): a narrower control only sees contention once fewer than
+# its width of cores remain, so an 8-thread probe read 1.07 during a
+# phase that ran 32-thread Spark stages at 3x (end-of-round-4 run);
+# a 32-thread probe feels the same proportional squeeze the suite
+# does. Reference floor: min of 30+ samples across several phases on
+# this box (floors are approached from above). The JSON records raw
 # AND normalized so a drifting reference is visible, never hidden.
 _CALIB_BUF = bytes(range(256)) * (4 * 1024 * 1024 // 256)  # 4 MiB
-CALIBRATION_THREADS = 8
-CALIBRATION_REPS = 320  # ~0.95s clean: long enough to average bursts
+CALIBRATION_THREADS = CPUS
+CALIBRATION_REPS = 144  # ~0.62s clean at 32 threads: averages bursts
 CALIBRATION_REF_SECONDS = float(
-    os.environ.get("SPARK_GRAFT_CALIB_REF", "0.949")
+    os.environ.get("SPARK_GRAFT_CALIB_REF", "0.620")
 )
 
 
@@ -150,16 +160,30 @@ def _calibration_sample() -> float:
 
 def steal_calibration(samples: list[float]) -> dict[str, object]:
     """Summarize calibration samples into the recorded block.
-    steal_factor uses the MEAN sample (the suite ran through the whole
-    window, so the average inflation is the right deflator), floored at
-    1.0 (a sample under the reference floor is measurement luck, not
-    negative steal)."""
+    steal_factor is the whole-run MEAN inflation (recorded for
+    cross-run comparability); the normalization itself is per-query,
+    from the two samples bracketing each query (see _query_factors).
+    Factors are floored at 1.0 (a sample under the reference floor is
+    measurement luck, not negative steal)."""
     mean = sum(samples) / len(samples)
     return {
         "samples_sec": [round(s, 3) for s in samples],
         "ref_sec": CALIBRATION_REF_SECONDS,
         "steal_factor": round(max(1.0, mean / CALIBRATION_REF_SECONDS), 3),
     }
+
+
+def _query_factors(samples: list[float]) -> list[float]:
+    """Per-query inflation factors from bracketing samples: query i ran
+    between samples[i] and samples[i+1]; its phase's factor is the mean
+    of the two over the reference floor, floored at 1.0."""
+    return [
+        max(
+            1.0,
+            (samples[i] + samples[i + 1]) / 2.0 / CALIBRATION_REF_SECONDS,
+        )
+        for i in range(len(samples) - 1)
+    ]
 
 
 def _sf_of(path: str) -> float:
@@ -259,11 +283,12 @@ def run_queries(
     timings: dict[str, float] = {}
     kg_triples = 0
     kg_secs = 0.0
-    # steal samples bracketing + interleaving the suite: one before,
-    # one after every 8th query, one after — the per-phase record the
-    # normalized numbers divide by
+    # steal samples bracketing EVERY query (one before the suite, one
+    # after each query): ~0.62s each, so ~20s of probe time buys
+    # per-query phase attribution — the resolution a mid-suite phase
+    # needs (a 3x phase under one query barely moves a suite mean)
     calib = [_calibration_sample()]
-    for i, name in enumerate(BENCH_QUERIES):
+    for name in BENCH_QUERIES:
         fn = registry[name]
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
@@ -271,9 +296,7 @@ def run_queries(
         timings[name] = round(dt, 3)
         if name == "kg_triples_canonical":
             kg_triples, kg_secs = n, dt
-        if (i + 1) % 8 == 0:
-            calib.append(_calibration_sample())
-    calib.append(_calibration_sample())
+        calib.append(_calibration_sample())
     tps = kg_triples / kg_secs if kg_secs > 0 else 0.0
     return timings, tps, calib
 
@@ -722,22 +745,27 @@ def main() -> None:
     spark.stop()
 
     cal = steal_calibration(calib)
-    factor = cal["steal_factor"]
+    factors = dict(zip(BENCH_QUERIES, _query_factors(calib)))
+    cal["per_query_factor"] = {k: round(f, 3) for k, f in factors.items()}
+    # each query deflated by ITS bracketing phase's measured inflation
+    # so round-over-round comparisons compare plans, not hypervisor
+    # weather; raw numbers are recorded alongside (BASELINE.md rule)
+    queries_norm = {
+        k: round(v / factors[k], 3) for k, v in timings.items()
+    }
     result = {
         "metric": "bench_suite_seconds",
-        # the headline value is the steal-normalized suite time (sum of
-        # per-query times deflated by the phase's measured inflation) so
-        # round-over-round comparisons compare plans, not hypervisor
-        # weather; raw numbers are recorded alongside (BASELINE.md rule)
-        "value": round(suite / factor, 3),
+        "value": round(sum(queries_norm.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v / factor, 3) for k, v in timings.items()},
+        "queries": queries_norm,
         "queries_raw": timings,
         "suite_seconds_raw": suite,
         "wall_seconds_raw": total,
         "calibration": cal,
         "sf": _sf_of(SF_DIR),
-        "triples_per_sec": round(tps * factor, 1),
+        "triples_per_sec": round(
+            tps * factors.get("kg_triples_canonical", 1.0), 1
+        ),
         "triples_per_sec_raw": round(tps, 1),
     }
     if mapping_width is not None:
