@@ -1804,6 +1804,68 @@ LIMIT 25
 """
 
 
+# SELECT expression projections (SPARQL 1.1 §18.4 Extend) plus the
+# round-5 built-in additions — STRAFTER/STRBEFORE/REPLACE, MD5,
+# ROUND/ABS/FLOOR — in one entry. Every computed value is
+# binary-exact on both engines: the decimals are x.5 halves (exact in
+# IEEE double), fn:round is floor(x+0.5) on both sides, and MD5 hex is
+# canonical, so the repr()-based float hash matches bit-for-bit. The
+# reference evaluates SPARQL through Jena ARQ post-materialization
+# (MorphMongoQueryProcessor.process:45-150), where all of these are
+# ARQ built-ins.
+XSD_DEC = "http://www.w3.org/2001/XMLSchema#decimal"
+
+SPARQL_EXPR_FUNCTIONS = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?page (STRAFTER(STR(?page), "/page/") AS ?pid)
+       (MD5(STRAFTER(STR(?page), "/page/")) AS ?h)
+       (ROUND(?v) AS ?r)
+       (ABS(?v - 3) AS ?a)
+       (REPLACE(STRBEFORE(STR(?v), "."), "[0-9]", "#") AS ?m)
+WHERE {
+    ?page kg:value ?v .
+    FILTER (FLOOR(?v) >= 1)
+}
+"""
+
+
+def _dec_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(
+            F.lit(f"<{KG}page/"), F.col("doc_id").cast("string"), F.lit(">")
+        ).alias("subj"),
+        F.lit(f"<{KG}ontology#value>").alias("pred"),
+        F.concat(
+            F.lit('"'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(f'.5"^^<{XSD_DEC}>'),
+        ).alias("obj"),
+    )
+
+
+def q_sparql_expr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_dec_trip(spark, sf_dir), SPARQL_EXPR_FUNCTIONS)
+
+
+SQL_SPARQL_EXPR_FUNCTIONS = f"""
+WITH trip AS (
+    SELECT DISTINCT
+        '<{KG}page/' || doc_id || '>' AS page,
+        CAST(doc_id AS VARCHAR) AS pid,
+        (doc_id % 7) + 0.5 AS v,
+        CAST(doc_id % 7 AS VARCHAR) AS ipart
+    FROM documents
+)
+SELECT page, pid, md5(pid) AS h,
+       CAST(floor(v + 0.5) AS DOUBLE) AS r,
+       CAST(abs(v - 3) AS DOUBLE) AS a,
+       regexp_replace(ipart, '[0-9]', '#', 'g') AS m
+FROM trip
+WHERE floor(v) >= 1
+"""
+
+
 # Property path: inverse step composed with a sequence step
 # ((^kg:mentions)/schema:inLanguage — "languages of the pages that
 # mention this entity"), joined with a plain pattern. Paths evaluate as
@@ -2473,6 +2535,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_numeric_exponent": (
         q_sparql_numeric_exponent,
         SQL_SPARQL_NUMERIC_EXPONENT,
+    ),
+    "sparql_expr_functions": (
+        q_sparql_expr_functions,
+        SQL_SPARQL_EXPR_FUNCTIONS,
     ),
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
     "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),

@@ -140,6 +140,13 @@ class SelectQuery:
     # graph; FROM NAMED <g> graphs are the queried named graphs
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
+    # SELECT (expr AS ?alias) projection expressions (SPARQL 1.1 §18.4
+    # Extend): (value-expression tree, alias) pairs, evaluated after
+    # grouping (aggregate calls inside are pulled into hidden agg
+    # columns like HAVING's) and in projection order, so a later
+    # expression may reference an earlier alias. The alias also appears
+    # in `variables` at its projection position.
+    projections: list[tuple[object, str]] = field(default_factory=list)
 
 
 # filter expression tree
@@ -348,8 +355,12 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
 
     variables: list[str] = []
     aggregates: list[Aggregate] = []
+    projections: list[tuple[object, str]] = []
     if proj != "*":
-        for item in re.findall(r"\([^)]*\([^)]*\)[^)]*\)|\?\w+", proj):
+        for item in _projection_items(proj):
+            if item.startswith("?"):
+                variables.append(item[1:])
+                continue
             ma = _AGG_RE.match(item)
             if ma:
                 arg = ma.group("arg")
@@ -363,8 +374,12 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
                         sep=" " if sep is None else re.sub(r"\\(.)", r"\1", sep),
                     )
                 )
-            else:
-                variables.append(item.lstrip("?"))
+                continue
+            # general (expr AS ?alias) projection (SPARQL 1.1 §18.4);
+            # aggregate calls inside are legal and pulled post-group
+            node, alias = _parse_projection_expr(item, prefixes)
+            projections.append((node, alias))
+            variables.append(alias)
 
     # WHERE block: the SELECT regex ends at the opening '{'
     start = msel.end() - 1
@@ -386,8 +401,54 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
     group_by, order_by, limit, offset = _parse_tail(tail, prefixes)
     return SelectQuery(
         variables, group, distinct, order_by, limit, offset, aggregates,
-        group_by, having, from_graphs, from_named,
+        group_by, having, from_graphs, from_named, projections,
     )
+
+
+def _projection_items(proj: str) -> list[str]:
+    """Split a SELECT projection into its items: ``?var`` tokens and
+    parenthesized ``(expr AS ?alias)`` groups (parens may nest). Raises
+    on anything else — a silently-dropped projection item would change
+    the result schema."""
+    items: list[str] = []
+    i = 0
+    while i < len(proj):
+        ch = proj[i]
+        if ch.isspace():
+            i += 1
+        elif ch == "(":
+            j = _match_paren(proj, i)
+            items.append(proj[i : j + 1])
+            i = j + 1
+        else:
+            m = re.match(r"\?\w+", proj[i:])
+            if not m:
+                raise ValueError(
+                    f"cannot parse SELECT projection at: {proj[i:]!r}"
+                )
+            items.append(m.group(0))
+            i += m.end()
+    return items
+
+
+def _parse_projection_expr(
+    item: str, prefixes: dict[str, str]
+) -> tuple[object, str]:
+    """``(expr AS ?alias)`` -> (value tree, alias). The expr reuses the
+    HAVING grammar: the FILTER value grammar plus aggregate calls at
+    the primary level (``(COUNT(?x) * 2 AS ?y)``)."""
+    inner = item[1:-1].strip()
+    m = _BIND_RE.match(inner)
+    if not m:
+        raise ValueError(
+            f"cannot parse SELECT expression {item!r} "
+            "(expected (expr AS ?alias))"
+        )
+    p = _HavingParser(m.group("expr"), prefixes)
+    node = p.or_expr()
+    if p._peek() is not None:
+        raise ValueError(f"unsupported SELECT expression tail: {item!r}")
+    return node, m.group("var")
 
 
 def _parse_tail(
@@ -964,6 +1025,11 @@ _FN_VALUE = {
     "STRLEN": "strlen", "UCASE": "ucase", "LCASE": "lcase",
     "CONCAT": "concat", "COALESCE": "coalesce", "IF": "if",
     "SUBSTR": "substr", "LANG": "lang", "DATATYPE": "datatype",
+    "STRBEFORE": "strbefore", "STRAFTER": "strafter", "REPLACE": "replace",
+    "ENCODE_FOR_URI": "encode_for_uri",
+    "ABS": "abs", "CEIL": "ceil", "FLOOR": "floor", "ROUND": "round",
+    "MD5": "md5", "SHA1": "sha1", "SHA256": "sha256", "SHA384": "sha384",
+    "SHA512": "sha512",
 }
 _BOOL_OPS = {
     "and", "or", "not", "bound", "regex",
@@ -1645,6 +1711,72 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
                 F.regexp_extract(_raw_term(term.args[0], df), r"@([A-Za-z0-9-]+)$", 1),
                 "str",
             )
+        if op == "strbefore":
+            # SPARQL 1.1 §17.4.3.4: empty arg2 -> "", no match -> ""
+            a = _as_lexical(term.args[0], df)
+            b = _as_lexical(term.args[1], df)
+            pos = F.instr(a, b)
+            return (
+                F.when(F.length(b) == 0, F.lit(""))
+                .when(pos > 0, F.substr(a, F.lit(1), pos - 1))
+                .otherwise(F.lit("")),
+                "str",
+            )
+        if op == "strafter":
+            # SPARQL 1.1 §17.4.3.5: empty arg2 -> arg1, no match -> ""
+            a = _as_lexical(term.args[0], df)
+            b = _as_lexical(term.args[1], df)
+            pos = F.instr(a, b)
+            return (
+                F.when(F.length(b) == 0, a)
+                .when(pos > 0, F.substr(a, pos + F.length(b)))
+                .otherwise(F.lit("")),
+                "str",
+            )
+        if op == "replace":
+            # REPLACE replaces every match (XPath fn:replace); Spark's
+            # regexp_replace is global, a DuckDB oracle needs the 'g' flag
+            return (
+                F.regexp_replace(
+                    _as_lexical(term.args[0], df),
+                    _as_lexical(term.args[1], df),
+                    _as_lexical(term.args[2], df),
+                ),
+                "str",
+            )
+        if op == "encode_for_uri":
+            # XPath fn:encode-for-uri: percent-encode the UTF-8 bytes of
+            # everything but unreserved A-Za-z0-9-_.~ (uppercase hex).
+            # url_encode is the JVM-side form-encoder; patch its three
+            # divergences (space->'+', '*' kept, '~' encoded). A literal
+            # '+'/'*' in the input is already %2B/%2A by then, and a
+            # literal "%7E" text becomes %257E, so the patches can't
+            # double-fire.
+            c = F.url_encode(_as_lexical(term.args[0], df))
+            c = F.replace(c, F.lit("+"), F.lit("%20"))
+            c = F.replace(c, F.lit("*"), F.lit("%2A"))
+            c = F.replace(c, F.lit("%7E"), F.lit("~"))
+            return c, "str"
+        if op in ("abs", "ceil", "floor"):
+            n = _as_number(term.args[0], df)
+            fn = {"abs": F.abs, "ceil": F.ceil, "floor": F.floor}[op]
+            return fn(n).cast("double"), "num"
+        if op == "round":
+            # XPath fn:round ties go toward +inf — floor(x + 0.5), which
+            # a SQL oracle reproduces verbatim (HALF_UP round() does not:
+            # round(-2.5) = -3 but fn:round(-2.5) = -2)
+            return (
+                F.floor(_as_number(term.args[0], df) + F.lit(0.5)).cast(
+                    "double"
+                ),
+                "num",
+            )
+        if op in ("md5", "sha1"):
+            b = F.encode(_as_lexical(term.args[0], df), "UTF-8")
+            return (F.md5(b) if op == "md5" else F.sha1(b)), "str"
+        if op in ("sha256", "sha384", "sha512"):
+            b = F.encode(_as_lexical(term.args[0], df), "UTF-8")
+            return F.sha2(b, int(op[3:])), "str"
         if op == "datatype":
             raw = _raw_term(term.args[0], df)
             return (
@@ -1940,42 +2072,51 @@ def _select_df_info(
 ) -> tuple[DataFrame, set[str]]:
     triples = _apply_dataset(triples, q)
     df, mn = _group_df_info(triples, q.where, graph)
-    if q.aggregates or q.having is not None:
-        aggs = [_agg_col(a) for a in q.aggregates]
-        # HAVING: pull aggregate calls out of the expression tree into
-        # hidden agg columns, filter on them post-agg, then drop them
-        having_tree = None
-        if q.having is not None:
-            hidden_n = 0
+    # HAVING and (expr AS ?alias) projections may contain aggregate
+    # calls: pull them out into hidden agg columns, evaluate the rest
+    # of the expression post-agg, then drop the hidden columns
+    aggs = [_agg_col(a) for a in q.aggregates]
+    hidden_n = 0
 
-            def _pull(node):
-                nonlocal hidden_n
-                if isinstance(node, FilterNode):
-                    if node.op == "agg":
-                        alias = f"__h{hidden_n}"
-                        hidden_n += 1
-                        func, var, distinct = node.args
-                        aggs.append(
-                            _agg_col(Aggregate(func, var, alias, distinct))
-                        )
-                        return f"?{alias}"
-                    return FilterNode(node.op, [_pull(a) for a in node.args])
-                return node
+    def _pull(node):
+        nonlocal hidden_n
+        if isinstance(node, FilterNode):
+            if node.op == "agg":
+                alias = f"__h{hidden_n}"
+                hidden_n += 1
+                func, var, distinct = node.args
+                aggs.append(
+                    _agg_col(Aggregate(func, var, alias, distinct))
+                )
+                return f"?{alias}"
+            return FilterNode(node.op, [_pull(a) for a in node.args])
+        return node
 
-            having_tree = _pull(q.having)
+    having_tree = _pull(q.having) if q.having is not None else None
+    proj_trees = [(_pull(t), alias) for t, alias in q.projections]
+    if q.aggregates or q.having is not None or hidden_n:
         if q.group_by:
             df = df.groupBy(*q.group_by).agg(*aggs)
         else:
             df = df.agg(*aggs)
         if having_tree is not None:
             df = df.where(_filter_col(having_tree, df))
+        # Extend (§18.4) runs after grouping, in projection order, so a
+        # later expression may reference an earlier alias
+        for node, alias in proj_trees:
+            df = df.withColumn(alias, _bind_col(node, df))
         keep = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
         df = df.select(*[c for c in keep if c in df.columns])
         # aggregates other than COUNT yield NULL over all-NULL groups
-        mn = (mn & set(q.group_by)) | {
-            a.alias for a in q.aggregates if a.func != "count"
-        }
+        mn = (
+            (mn & set(q.group_by))
+            | {a.alias for a in q.aggregates if a.func != "count"}
+            | {alias for _, alias in proj_trees}
+        )
     elif q.variables:
+        for node, alias in proj_trees:
+            df = df.withColumn(alias, _bind_col(node, df))
+            mn.add(alias)  # expression errors evaluate to NULL
         df = df.select(*q.variables)
     else:
         # SELECT *: blank-node-property-list internals are not

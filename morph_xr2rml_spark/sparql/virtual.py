@@ -1474,6 +1474,10 @@ class VirtualGraph:
             return None
         if q.aggregates or q.group_by or q.having is not None or q.order_by:
             return None
+        if q.projections:
+            # (expr AS ?v) needs the expression evaluated over real
+            # bindings; the mapping-only shortcut cannot compute it
+            return None
         if q.from_graphs or q.from_named:
             return None
         w = q.where
