@@ -1866,6 +1866,66 @@ WHERE floor(v) >= 1
 """
 
 
+# Date/time accessors + term constructors (round-5 additions, tranche
+# 2): YEAR/MONTH/DAY/HOURS read the xsd:dateTime LEXICAL form (regexp
+# groups — no session-timezone dependence), IRI()/STRLANG() build
+# terms, isNUMERIC() gates the filter. The dateTime literals come from
+# events.ts via date_format, which was probed byte-identical to
+# DuckDB's strftime on this data (both truncate sub-second micros).
+SPARQL_DATETIME_TERMS = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?e (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+       (HOURS(?t) AS ?h)
+       (IRI(CONCAT(STR(?e), "#t")) AS ?anchor)
+       (STRLANG(STRAFTER(STR(?e), "/ev/"), "en") AS ?lbl)
+WHERE {
+    ?e kg:at ?t .
+    FILTER (isNUMERIC(MINUTES(?t)) && HOURS(?t) >= 12)
+}
+"""
+
+XSD_DT = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def _dt_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _load(spark, sf_dir, "events")
+    return events.select(
+        F.concat(
+            F.lit(f"<{KG}ev/"), F.col("event_id").cast("string"), F.lit(">")
+        ).alias("subj"),
+        F.lit(f"<{KG}ontology#at>").alias("pred"),
+        F.concat(
+            F.lit('"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(f'"^^<{XSD_DT}>'),
+        ).alias("obj"),
+    )
+
+
+def q_sparql_datetime_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sparql_select(_dt_trip(spark, sf_dir), SPARQL_DATETIME_TERMS)
+
+
+SQL_SPARQL_DATETIME_TERMS = f"""
+WITH trip AS (
+    SELECT DISTINCT
+        '<{KG}ev/' || event_id || '>' AS e,
+        CAST(event_id AS VARCHAR) AS eid,
+        ts
+    FROM events
+)
+SELECT e,
+       CAST(year(ts) AS DOUBLE) AS y,
+       CAST(month(ts) AS DOUBLE) AS mo,
+       CAST(day(ts) AS DOUBLE) AS d,
+       CAST(hour(ts) AS DOUBLE) AS h,
+       '<{KG}ev/' || eid || '#t>' AS anchor,
+       '"' || eid || '"@en' AS lbl
+FROM trip
+WHERE hour(ts) >= 12
+"""
+
+
 # Property path: inverse step composed with a sequence step
 # ((^kg:mentions)/schema:inLanguage — "languages of the pages that
 # mention this entity"), joined with a plain pattern. Paths evaluate as
@@ -2539,6 +2599,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sparql_expr_functions": (
         q_sparql_expr_functions,
         SQL_SPARQL_EXPR_FUNCTIONS,
+    ),
+    "sparql_datetime_terms": (
+        q_sparql_datetime_terms,
+        SQL_SPARQL_DATETIME_TERMS,
     ),
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
     "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),

@@ -1020,6 +1020,7 @@ _FN_BOOL = {
     "ISIRI": "isiri", "ISURI": "isiri", "ISLITERAL": "isliteral",
     "ISBLANK": "isblank", "STRSTARTS": "strstarts", "STRENDS": "strends",
     "CONTAINS": "contains", "LANGMATCHES": "langmatches",
+    "ISNUMERIC": "isnumeric", "SAMETERM": "sameterm",
 }
 _FN_VALUE = {
     "STRLEN": "strlen", "UCASE": "ucase", "LCASE": "lcase",
@@ -1030,11 +1031,26 @@ _FN_VALUE = {
     "ABS": "abs", "CEIL": "ceil", "FLOOR": "floor", "ROUND": "round",
     "MD5": "md5", "SHA1": "sha1", "SHA256": "sha256", "SHA384": "sha384",
     "SHA512": "sha512",
+    "IRI": "iri", "URI": "iri", "STRDT": "strdt", "STRLANG": "strlang",
+    "YEAR": "dt_year", "MONTH": "dt_month", "DAY": "dt_day",
+    "HOURS": "dt_hours", "MINUTES": "dt_minutes", "SECONDS": "dt_seconds",
+    "TZ": "dt_tz",
 }
 _BOOL_OPS = {
     "and", "or", "not", "bound", "regex",
     "=", "!=", "<", "<=", ">", ">=",
 } | set(_FN_BOOL.values())
+# xsd:dateTime / xsd:date lexical shape (YEAR..SECONDS/TZ accessors
+# read the groups directly — see the _DT_GROUP case in _filter_operand)
+_DT_LEX_RE = (
+    r"^(-?\d{4,})-(\d{2})-(\d{2})"
+    r"(?:T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?))?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
+_DT_GROUP = {
+    "dt_year": 1, "dt_month": 2, "dt_day": 3,
+    "dt_hours": 4, "dt_minutes": 5, "dt_seconds": 6, "dt_tz": 7,
+}
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 _AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
@@ -1777,6 +1793,49 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
         if op in ("sha256", "sha384", "sha512"):
             b = F.encode(_as_lexical(term.args[0], df), "UTF-8")
             return F.sha2(b, int(op[3:])), "str"
+        if op == "iri":
+            # IRI()/URI(): string -> IRI term. Absolute IRIs only: the
+            # prologue BASE is resolved at parse time against constant
+            # terms (see virtual._resolve_base), not re-applied to
+            # computed strings, matching engines without a runtime base
+            return (
+                F.concat(
+                    F.lit("<"), _as_lexical(term.args[0], df), F.lit(">")
+                ),
+                "plain",
+            )
+        if op == "strdt":
+            # STRDT(lexical, datatype-IRI) -> typed literal term
+            return (
+                F.concat(
+                    F.lit('"'),
+                    _as_lexical(term.args[0], df),
+                    F.lit('"^^'),
+                    _raw_term(term.args[1], df),
+                ),
+                "plain",
+            )
+        if op == "strlang":
+            return (
+                F.concat(
+                    F.lit('"'),
+                    _as_lexical(term.args[0], df),
+                    F.lit('"@'),
+                    _as_lexical(term.args[1], df),
+                ),
+                "plain",
+            )
+        if op in _DT_GROUP:
+            # xsd:dateTime/date accessors evaluate on the LEXICAL form
+            # (regexp groups), not via a timestamp cast: no session-
+            # timezone dependence, and a SQL oracle reproduces the same
+            # groups verbatim. No match / missing time part -> NULL
+            # (SPARQL type-error semantics; HOURS of an xsd:date errors)
+            lex = _as_lexical(term.args[0], df)
+            part = F.regexp_extract(lex, _DT_LEX_RE, _DT_GROUP[op])
+            if op == "dt_tz":
+                return part, "str"
+            return F.nullif(part, F.lit("")).try_cast("double"), "num"
         if op == "datatype":
             raw = _raw_term(term.args[0], df)
             return (
@@ -1886,6 +1945,21 @@ def _filter_col(node: FilterNode, df: DataFrame) -> Column:
         return _raw_term(node.args[0], df).startswith('"')
     if op == "isblank":
         return _raw_term(node.args[0], df).startswith("_:")
+    if op == "isnumeric":
+        col, kind = _filter_operand(node.args[0], df)
+        if kind == "num":
+            return col.isNotNull()
+        # literal whose datatype is one of the XSD numeric types
+        return _raw_term(node.args[0], df).rlike(
+            r"\^\^<http://www\.w3\.org/2001/XMLSchema#(integer|decimal"
+            r"|float|double|int|long|short|byte|nonNegativeInteger"
+            r"|nonPositiveInteger|positiveInteger|negativeInteger"
+            r"|unsignedLong|unsignedInt|unsignedShort|unsignedByte)>$"
+        )
+    if op == "sameterm":
+        # term (not value) identity: the engine's terms are canonical
+        # N-Triples strings, so raw equality IS sameTerm
+        return _raw_term(node.args[0], df) == _raw_term(node.args[1], df)
     if op in ("strstarts", "strends", "contains"):
         a = _as_lexical(node.args[0], df)
         b = _as_lexical(node.args[1], df)

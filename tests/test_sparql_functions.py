@@ -199,6 +199,83 @@ def test_hashes_match_hashlib(triples):
         assert r["h5"] == hashlib.sha512(lex).hexdigest()
 
 
+# ---------------------------------------------------------------------------
+# term constructors, term tests, date/time accessors
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dt_triples(spark):
+    rows = [
+        (f"<{EX}e1>", f"<{EX}at>",
+         '"2021-03-05T14:30:07.25+02:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        (f"<{EX}e2>", f"<{EX}at>",
+         '"2020-12-31"^^<http://www.w3.org/2001/XMLSchema#date>'),
+        (f"<{EX}e3>", f"<{EX}at>",
+         '"1999-01-02T03:04:05Z"^^<http://www.w3.org/2001/XMLSchema#dateTime>'),
+        (f"<{EX}e1>", f"<{EX}n>",
+         '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        (f"<{EX}e2>", f"<{EX}n>", '"abc"'),
+        (f"<{EX}e3>", f"<{EX}n>",
+         '"2.5"^^<http://www.w3.org/2001/XMLSchema#decimal>'),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_datetime_accessors(dt_triples):
+    out = sparql_select(
+        dt_triples,
+        f"""SELECT ?s (YEAR(?t) AS ?y) (MONTH(?t) AS ?mo) (DAY(?t) AS ?d)
+               (HOURS(?t) AS ?h) (MINUTES(?t) AS ?mi) (SECONDS(?t) AS ?sec)
+               (TZ(?t) AS ?tz)
+            WHERE {{ ?s <{EX}at> ?t }}""",
+    )
+    got = {r["s"]: tuple(r)[1:] for r in out.collect()}
+    assert got[f"<{EX}e1>"] == (2021.0, 3.0, 5.0, 14.0, 30.0, 7.25, "+02:00")
+    # xsd:date has no time part: HOURS/MINUTES/SECONDS are a type
+    # error -> NULL (unbound); TZ of an untagged form is ""
+    assert got[f"<{EX}e2>"] == (2020.0, 12.0, 31.0, None, None, None, "")
+    assert got[f"<{EX}e3>"] == (1999.0, 1.0, 2.0, 3.0, 4.0, 5.0, "Z")
+
+
+def test_term_constructors(dt_triples):
+    out = sparql_select(
+        dt_triples,
+        f"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?s (IRI(CONCAT(STR(?s), "/x")) AS ?xi)
+                   (STRDT(STR(?n), xsd:token) AS ?td)
+                   (STRLANG(STR(?n), "en-US") AS ?tl)
+            WHERE {{ ?s <{EX}n> ?n . FILTER(STR(?n) = "5") }}""",
+    )
+    r = out.collect()[0]
+    assert r["xi"] == f"<{EX}e1/x>"
+    assert r["td"] == '"5"^^<http://www.w3.org/2001/XMLSchema#token>'
+    assert r["tl"] == '"5"@en-US'
+
+
+def test_isnumeric_and_sameterm(dt_triples):
+    out = sparql_select(
+        dt_triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}n> ?n .
+            FILTER(isNUMERIC(?n) && sameTerm(?s, ?s)) }}""",
+    )
+    assert rows(out) == {(f"<{EX}e1>",), (f"<{EX}e3>",)}
+    out2 = sparql_select(
+        dt_triples,
+        f"SELECT ?s WHERE {{ ?s <{EX}n> ?n . FILTER(!isNUMERIC(?n)) }}",
+    )
+    assert rows(out2) == {(f"<{EX}e2>",)}
+    # sameTerm is TERM identity: "2.5"^^decimal vs the plain value 2.5
+    # compare =-equal but not sameTerm-equal against a re-typed literal
+    out3 = sparql_select(
+        dt_triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}n> ?n .
+            FILTER(sameTerm(?n,
+                "5"^^<http://www.w3.org/2001/XMLSchema#integer>)) }}""",
+    )
+    assert rows(out3) == {(f"<{EX}e1>",)}
+
+
 def test_new_functions_compose_in_bind_and_filter(triples):
     # the same grammar powers BIND and FILTER, so the additions work
     # there too
