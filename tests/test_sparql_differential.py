@@ -674,3 +674,128 @@ def _dataset_property(spark, quads, p1, p2, gterm, from_graphs, from_named):
 
 def test_differential_dataset_clauses(spark):
     _dataset_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# value-function layer: STRBEFORE/STRAFTER/REPLACE/ENCODE_FOR_URI,
+# ABS/CEIL/FLOOR/ROUND, MD5, date accessors, and (expr AS ?alias)
+# projections — engine vs independent Python mirrors of the SPARQL 1.1
+# definitions (§17.4 / XPath F&O), applied to randomized mixed terms
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib  # noqa: E402
+import math as _math  # noqa: E402
+import urllib.parse as _urlparse  # noqa: E402
+
+_DT_MIRROR_RE = _nre.compile(
+    r"^(-?\d{4,})-(\d{2})-(\d{2})"
+    r"(?:T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?))?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def _mirror_lex(term: str) -> str:
+    """STR(): lexical form (generator alphabet has no escapes)."""
+    if term.startswith('"'):
+        return term[1 : term.rindex('"')]
+    if term.startswith("<") and term.endswith(">"):
+        return term[1:-1]
+    return term
+
+
+def _spec_strbefore(a: str, b: str) -> str:
+    if b == "":
+        return ""
+    return a.split(b, 1)[0] if b in a else ""
+
+
+def _spec_strafter(a: str, b: str) -> str:
+    if b == "":
+        return a
+    return a.split(b, 1)[1] if b in a else ""
+
+
+def _spec_round(x: float | None) -> float | None:
+    return None if x is None else float(_math.floor(x + 0.5))
+
+
+_VALUE_TERM_ST = st.one_of(
+    st.text(alphabet="abxy -09é.", max_size=8).map(lambda s: f'"{s}"'),
+    st.integers(-5, 30).map(_lit),
+    # quarters: exact in IEEE double, and .5 halves exercise the
+    # fn:round tie rule
+    st.integers(-40, 40).map(
+        lambda n: f'"{n / 4}"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+    ),
+    st.sampled_from(
+        [
+            '"2021-03-05T14:30:07.25+02:00"'
+            "^^<http://www.w3.org/2001/XMLSchema#dateTime>",
+            '"2020-12-31"^^<http://www.w3.org/2001/XMLSchema#date>',
+            '"1999-01-02T03:04:05Z"'
+            "^^<http://www.w3.org/2001/XMLSchema#dateTime>",
+        ]
+    ),
+    st.sampled_from([f"<{EX}iri/1>", f"<{EX}iri/two>"]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    terms=st.lists(_VALUE_TERM_ST, min_size=1, max_size=6),
+    sep=st.sampled_from(["-", "a", " ", "", "xy", "0"]),
+    pat=st.sampled_from(["a", "[0-9]", "x.", " "]),
+    rep=st.sampled_from(["_", "", "Z"]),
+)
+def _value_fn_property(spark, terms, sep, pat, rep):
+    graph = [(f"<{EX}s/{i}>", f"<{EX}v>", t) for i, t in enumerate(terms)]
+    df = spark.createDataFrame(
+        graph, "subj string, pred string, obj string"
+    )
+    q = f"""SELECT ?s
+        (STRBEFORE(STR(?v), "{sep}") AS ?sb)
+        (STRAFTER(STR(?v), "{sep}") AS ?sa)
+        (REPLACE(STR(?v), "{pat}", "{rep}") AS ?rp)
+        (ENCODE_FOR_URI(STR(?v)) AS ?enc)
+        (MD5(STR(?v)) AS ?md)
+        (ABS(?v) AS ?ab) (CEIL(?v) AS ?ce) (FLOOR(?v) AS ?fl)
+        (ROUND(?v) AS ?ro)
+        (YEAR(?v) AS ?yr) (SECONDS(?v) AS ?sec) (TZ(?v) AS ?tz)
+        (?v * 2 + 1 AS ?ar)
+        WHERE {{ ?s <{EX}v> ?v }}"""
+    got = {r["s"]: r.asDict() for r in sparql_select(df, q).collect()}
+    assert len(got) == len(graph)
+    for i, t in enumerate(terms):
+        lex = _mirror_lex(t)
+        num = _num(t) if t.startswith('"') else None
+        mdt = _DT_MIRROR_RE.match(lex) if t.startswith('"') else None
+        r = got[f"<{EX}s/{i}>"]
+        ctx = f"term={t!r} sep={sep!r} pat={pat!r} rep={rep!r} row={r}"
+        assert r["sb"] == _spec_strbefore(lex, sep), ctx
+        assert r["sa"] == _spec_strafter(lex, sep), ctx
+        assert r["rp"] == _nre.sub(pat, rep, lex), ctx
+        assert r["enc"] == _urlparse.quote(lex, safe=""), ctx
+        assert r["md"] == _hashlib.md5(lex.encode()).hexdigest(), ctx
+        if num is None:
+            assert (
+                r["ab"] is None and r["ce"] is None
+                and r["fl"] is None and r["ro"] is None and r["ar"] is None
+            ), ctx
+        else:
+            assert r["ab"] == abs(num), ctx
+            assert r["ce"] == float(_math.ceil(num)), ctx
+            assert r["fl"] == float(_math.floor(num)), ctx
+            assert r["ro"] == _spec_round(num), ctx
+            assert r["ar"] == num * 2 + 1, ctx
+        if mdt is None:
+            assert r["yr"] is None and r["sec"] is None, ctx
+        else:
+            assert r["yr"] == float(mdt.group(1)), ctx
+            assert r["sec"] == (
+                float(mdt.group(6)) if mdt.group(6) else None
+            ), ctx
+            assert r["tz"] == (mdt.group(7) or ""), ctx
+
+
+def test_differential_value_functions(spark):
+    _value_fn_property(spark)
