@@ -165,7 +165,7 @@ _PREFIX_RE = re.compile(r"PREFIX\s+([\w.-]*):\s*<([^>]*)>", re.IGNORECASE)
 # ASK { ... } are valid); the lookbehind keeps a ?where variable from
 # being eaten as the keyword.
 _SELECT_RE = re.compile(
-    r"SELECT\s+(DISTINCT\s+)?(.*?)\s*(?:(?<![?\w])WHERE\s*)?\{",
+    r"SELECT\s+(DISTINCT\s+|REDUCED\s+)?(.*?)\s*(?:(?<![?\w])WHERE\s*)?\{",
     re.IGNORECASE | re.DOTALL,
 )
 # Solution modifiers after the WHERE block. SPARQL's LimitOffsetClauses
@@ -340,6 +340,9 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
     msel = _SELECT_RE.search(body)
     if not msel:
         raise ValueError("only SELECT queries are supported")
+    # REDUCED permits (without requiring) duplicate elimination
+    # (SPARQL 1.1 §18.2.5.3.3); evaluating it as DISTINCT is conformant
+    # and keeps results deterministic across plans
     distinct = bool(msel.group(1))
     proj = msel.group(2).strip()
 

@@ -287,3 +287,12 @@ def test_new_functions_compose_in_bind_and_filter(triples):
             FILTER(STRLEN(?tag) > 0 && MD5(?tag) != "x") }}""",
     )
     assert rows(out) == {(f"<{EX}d/1>", "ab")}
+
+
+def test_select_reduced(dt_triples):
+    # REDUCED permits duplicate elimination; the engine evaluates it as
+    # DISTINCT (conformant, deterministic)
+    out = sparql_select(
+        dt_triples, f"SELECT REDUCED ?p WHERE {{ ?s ?p ?o }}"
+    )
+    assert rows(out) == {(f"<{EX}at>",), (f"<{EX}n>",)}
