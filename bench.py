@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "sparql_virtual_describe",
     # dataset clauses over materialized quads
     "sparql_from_named",
+    # round-5 function surface: expression projections + the
+    # string/hash/rounding and date-accessor built-ins, each a single
+    # pruned parquet scan with zero exchanges (plan-audited)
+    "sparql_expr_functions",
+    "sparql_datetime_terms",
 ]
 
 # 72x replication (~360k docs, 11.2M output triples) sizes the scaling

@@ -54,6 +54,7 @@ from __future__ import annotations
 import functools
 import re
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -324,7 +325,19 @@ def _strip_comments(text: str) -> str:
     return "".join(out)
 
 
+# NOW() must return ONE timestamp for the whole query (SPARQL 1.1
+# §17.4.5.1); the parser stamps it once per top-level parse and every
+# NOW() node carries that constant. A one-element list, not a scalar,
+# so nested _parse_select calls (subqueries) share the outer stamp.
+_QUERY_NOW: list[str] = [""]
+
+
 def parse_sparql(text: str) -> SelectQuery:
+    _QUERY_NOW[0] = (
+        '"'
+        + datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+        + f'Z"^^<{_XSD_NS}dateTime>'
+    )
     text = _strip_comments(text)
     prefixes = _parse_prologue(text)
     end = _PROLOGUE_RE.match(text).end()
@@ -1039,6 +1052,9 @@ _FN_VALUE = {
     "HOURS": "dt_hours", "MINUTES": "dt_minutes", "SECONDS": "dt_seconds",
     "TZ": "dt_tz",
 }
+_FN_NULLARY = {
+    "NOW": "now", "UUID": "uuid", "STRUUID": "struuid", "RAND": "rand",
+}
 _BOOL_OPS = {
     "and", "or", "not", "bound", "regex",
     "=", "!=", "<", "<=", ">", ">=",
@@ -1187,6 +1203,12 @@ class _FilterParser:
             self._pop()
             return self.primary()
         u = t.upper()
+        if u in _FN_NULLARY and self._peek(1) == "(" and self._peek(2) == ")":
+            self._pop(), self._pop(), self._pop()
+            # NOW() carries the per-parse timestamp so every call in
+            # the query evaluates to the same instant (§17.4.5.1)
+            args = [_QUERY_NOW[0]] if u == "NOW" else []
+            return FilterNode(_FN_NULLARY[u], args)
         if self._peek(1) == "(" and (
             re.match(r"^\w+:[\w.%-]+$", t)
             or u == "STR"
@@ -1828,6 +1850,16 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
                 ),
                 "plain",
             )
+        if op == "now":
+            # the constant xsd:dateTime term stamped at parse time
+            return F.lit(term.args[0]), "plain"
+        if op == "rand":
+            return F.rand(), "num"
+        if op in ("uuid", "struuid"):
+            u = F.expr("uuid()")  # constant SQL text, no injection
+            if op == "struuid":
+                return u, "str"
+            return F.concat(F.lit("<urn:uuid:"), u, F.lit(">")), "plain"
         if op in _DT_GROUP:
             # xsd:dateTime/date accessors evaluate on the LEXICAL form
             # (regexp groups), not via a timestamp cast: no session-

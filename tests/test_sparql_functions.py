@@ -296,3 +296,32 @@ def test_select_reduced(dt_triples):
         dt_triples, f"SELECT REDUCED ?p WHERE {{ ?s ?p ?o }}"
     )
     assert rows(out) == {(f"<{EX}at>",), (f"<{EX}n>",)}
+
+
+def test_nullary_functions(dt_triples):
+    out = sparql_select(
+        dt_triples,
+        f"""SELECT ?s (NOW() AS ?t1) (NOW() AS ?t2) (UUID() AS ?u)
+                   (STRUUID() AS ?su) (RAND() AS ?r)
+            WHERE {{ ?s <{EX}n> ?n }}""",
+    )
+    import re as _re
+
+    got = out.collect()
+    assert len(got) == 3
+    ts = {r["t1"] for r in got} | {r["t2"] for r in got}
+    # NOW() is one instant for the whole query (§17.4.5.1): every call
+    # in every row sees the same stamped constant
+    assert len(ts) == 1
+    (t,) = ts
+    assert _re.match(
+        r'^"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z"'
+        r"\^\^<http://www\.w3\.org/2001/XMLSchema#dateTime>$",
+        t,
+    )
+    uuid_re = r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}"
+    assert all(_re.fullmatch(f"<urn:uuid:{uuid_re}>", r["u"]) for r in got)
+    assert all(_re.fullmatch(uuid_re, r["su"]) for r in got)
+    # UUIDs are fresh per row
+    assert len({r["u"] for r in got}) == 3
+    assert all(0.0 <= r["r"] < 1.0 for r in got)
