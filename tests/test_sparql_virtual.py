@@ -177,6 +177,14 @@ EQUIV_QUERIES = [
     # subject in the data OBJECT position — TMEmp (whose subjects are
     # emp/{eid}, never dept/…) must stay bound
     PREFIX + "SELECT ?e WHERE { <http://example.org/dept/1> ^ex:dept ?e }",
+    # round-5 function surface through the rewriting mode: expression
+    # projections and the new built-ins evaluate over the fragment
+    # exactly as over materialized triples
+    PREFIX
+    + """SELECT REDUCED ?n (STRAFTER(STR(?e), "/emp/") AS ?eid)
+               (MD5(STR(?n)) AS ?h)
+        WHERE { ?e ex:name ?n .
+                FILTER(STRLEN(REPLACE(STR(?n), "[aeiou]", "")) >= 0) }""",
 ]
 
 
