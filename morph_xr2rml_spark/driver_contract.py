@@ -1866,6 +1866,46 @@ WHERE floor(v) >= 1
 """
 
 
+# Aggregates over expressions (SUM(?v * 2), MAX(?v * ?v), AVG(?v - 1))
+# grouped by a BIND-computed key. All inputs are x.5 halves, so every
+# product/sum is an exact dyadic rational far below 2^53: Spark's
+# partition-order-dependent double summation and DuckDB's both produce
+# the identical exact value, keeping the repr()-float hash stable.
+SPARQL_AGG_EXPR = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?b (SUM(?v * 2) AS ?s2) (AVG(?v - 1) AS ?am)
+       (MAX(?v * ?v) AS ?mx) (COUNT(?v) AS ?n)
+WHERE {
+    ?page kg:value ?v .
+    BIND(FLOOR(?v) AS ?b)
+} GROUP BY ?b
+"""
+
+
+def q_sparql_agg_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sparql_select(_dec_trip(spark, sf_dir), SPARQL_AGG_EXPR)
+    return df.select(
+        "b", "s2", "am", "mx", F.col("n").cast("long").alias("n")
+    )
+
+
+SQL_SPARQL_AGG_EXPR = f"""
+WITH trip AS (
+    SELECT DISTINCT
+        '<{KG}page/' || doc_id || '>' AS page,
+        (doc_id % 7) + 0.5 AS v
+    FROM documents
+)
+SELECT CAST(floor(v) AS DOUBLE) AS b,
+       CAST(sum(v * 2) AS DOUBLE) AS s2,
+       CAST(avg(v - 1) AS DOUBLE) AS am,
+       CAST(max(v * v) AS DOUBLE) AS mx,
+       CAST(count(v) AS BIGINT) AS n
+FROM trip
+GROUP BY 1
+"""
+
+
 # Date/time accessors + term constructors (round-5 additions, tranche
 # 2): YEAR/MONTH/DAY/HOURS read the xsd:dateTime LEXICAL form (regexp
 # groups — no session-timezone dependence), IRI()/STRLANG() build
@@ -2604,6 +2644,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_sparql_datetime_terms,
         SQL_SPARQL_DATETIME_TERMS,
     ),
+    "sparql_agg_expr": (q_sparql_agg_expr, SQL_SPARQL_AGG_EXPR),
     "sparql_path_seq": (q_sparql_path_seq, SQL_SPARQL_PATH_SEQ),
     "sparql_path_closure": (q_sparql_path_closure, SQL_SPARQL_PATH_CLOSURE),
     "sparql_minus_having": (q_sparql_minus_having, SQL_SPARQL_MINUS_HAVING),

@@ -123,6 +123,11 @@ class Aggregate:
     alias: str
     distinct: bool = False
     sep: str = " "  # GROUP_CONCAT separator
+    # True when `var` is a pre-computed VALUE column (an aggregate over
+    # an expression, SUM(?a * ?b): the input is materialized as a
+    # hidden column before grouping) rather than a lexical term column
+    # that needs numeric parsing
+    raw: bool = False
 
 
 @dataclass
@@ -1017,7 +1022,7 @@ _F_TOKEN_RE = re.compile(
     | <[^<>\s]*>
     | \|\||&&|!=|<=|>=|=|<|>|!
     | \d+\.\d+ | \d+
-    | [+\-*/(),]
+    | [+\-*/(),;]
     | \w+:[\w.%-]+
     | \w+
     )""",
@@ -1254,10 +1259,29 @@ class _HavingParser(_FilterParser):
             if nt is not None and nt.upper() == "DISTINCT":
                 self._pop()
                 distinct = True
-            arg = self._pop()
+            if self._peek() == "*":
+                self._pop()
+                self._expect(")")
+                return FilterNode("agg", [func, None, distinct, False, " "])
+            node = self.or_expr()
+            sep = " "
+            if self._peek() == ";":  # GROUP_CONCAT(...; SEPARATOR="x")
+                self._pop()
+                kw = self._pop()
+                if kw.upper() != "SEPARATOR":
+                    raise ValueError(
+                        f"expected SEPARATOR after ';', got {kw!r}"
+                    )
+                self._expect("=")
+                sep = _unquote(self._pop())
             self._expect(")")
-            var = None if arg == "*" else arg.lstrip("?")
-            return FilterNode("agg", [func, var, distinct])
+            if isinstance(node, str) and node.startswith("?"):
+                return FilterNode(
+                    "agg", [func, node[1:], distinct, False, sep]
+                )
+            # aggregate over an expression (SUM(?a * ?b), §18.4.1): the
+            # input is materialized as a hidden value column pre-group
+            return FilterNode("agg", [func, node, distinct, True, sep])
         return super().primary()
 
 
@@ -2062,15 +2086,12 @@ def _agg_col(agg: Aggregate) -> Column:
         # pick (and what lets a SQL oracle reproduce it exactly)
         return F.min(F.col(agg.var)).alias(agg.alias)
     if agg.func == "group_concat":
-        coll = (
-            F.collect_set(F.col(agg.var))
-            if agg.distinct
-            else F.collect_list(F.col(agg.var))
-        )
+        src = F.col(agg.var).cast("string") if agg.raw else F.col(agg.var)
+        coll = F.collect_set(src) if agg.distinct else F.collect_list(src)
         # SPARQL leaves concatenation order undefined; sorting makes it
         # deterministic (and oracle-reproducible via string_agg ORDER BY)
         return F.array_join(F.sort_array(coll), agg.sep).alias(agg.alias)
-    v = _numeric_value(F.col(agg.var))
+    v = F.col(agg.var) if agg.raw else _numeric_value(F.col(agg.var))
     if agg.distinct and agg.func == "sum":
         return F.sum_distinct(v).alias(agg.alias)
     if agg.distinct and agg.func == "avg":
@@ -2186,6 +2207,9 @@ def _select_df_info(
     # of the expression post-agg, then drop the hidden columns
     aggs = [_agg_col(a) for a in q.aggregates]
     hidden_n = 0
+    # aggregate-over-expression inputs (SUM(?a * ?b)): materialized as
+    # hidden value columns on the pre-group frame
+    pre_cols: list[tuple[str, object]] = []
 
     def _pull(node):
         nonlocal hidden_n
@@ -2193,9 +2217,18 @@ def _select_df_info(
             if node.op == "agg":
                 alias = f"__h{hidden_n}"
                 hidden_n += 1
-                func, var, distinct = node.args
+                func, arg, distinct, is_expr, sep = node.args
+                if is_expr:
+                    iname = f"__ai{hidden_n}"
+                    hidden_n += 1
+                    pre_cols.append((iname, arg))
+                    arg = iname
                 aggs.append(
-                    _agg_col(Aggregate(func, var, alias, distinct))
+                    _agg_col(
+                        Aggregate(
+                            func, arg, alias, distinct, sep, raw=is_expr
+                        )
+                    )
                 )
                 return f"?{alias}"
             return FilterNode(node.op, [_pull(a) for a in node.args])
@@ -2204,6 +2237,8 @@ def _select_df_info(
     having_tree = _pull(q.having) if q.having is not None else None
     proj_trees = [(_pull(t), alias) for t, alias in q.projections]
     if q.aggregates or q.having is not None or hidden_n:
+        for iname, tree in pre_cols:
+            df = df.withColumn(iname, _bind_col(tree, df))
         if q.group_by:
             df = df.groupBy(*q.group_by).agg(*aggs)
         else:

@@ -325,3 +325,56 @@ def test_nullary_functions(dt_triples):
     # UUIDs are fresh per row
     assert len({r["u"] for r in got}) == 3
     assert all(0.0 <= r["r"] < 1.0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# aggregates over expressions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ab_triples(spark):
+    EXI = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = []
+    for i, (a, b, g) in enumerate([(1, 2, "x"), (3, 4, "x"), (5, 6, "y")]):
+        rows += [
+            (f"<{EX}r{i}>", f"<{EX}a>", f'"{a}"^^<{EXI}>'),
+            (f"<{EX}r{i}>", f"<{EX}b>", f'"{b}"^^<{EXI}>'),
+            (f"<{EX}r{i}>", f"<{EX}g>", f'"{g}"'),
+        ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_aggregate_over_expression(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT ?g (SUM(?a * ?b) AS ?sp) (MAX(?a + ?b) AS ?mx)
+                   (COUNT(?a) AS ?n)
+            WHERE {{ ?r <{EX}a> ?a . ?r <{EX}b> ?b . ?r <{EX}g> ?g }}
+            GROUP BY ?g ORDER BY ?g""",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ('"x"', 14.0, 7.0, 2),
+        ('"y"', 30.0, 11.0, 1),
+    ]
+
+
+def test_having_with_expression_aggregate(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT ?g WHERE {{
+            ?r <{EX}a> ?a . ?r <{EX}b> ?b . ?r <{EX}g> ?g }}
+            GROUP BY ?g HAVING(SUM(?a * ?b) > 20)""",
+    )
+    assert rows(out) == {('"y"',)}
+
+
+def test_group_concat_over_expression_with_separator(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT (GROUP_CONCAT(UCASE(STR(?g)); SEPARATOR=",") AS ?c)
+                   (SUM(DISTINCT ?a - ?a) AS ?z)
+                   (MIN(CONCAT(STR(?a), "-", STR(?b))) AS ?m)
+            WHERE {{ ?r <{EX}a> ?a . ?r <{EX}b> ?b . ?r <{EX}g> ?g }}""",
+    )
+    assert [tuple(r) for r in out.collect()] == [("X,X,Y", 0.0, "1-2")]
