@@ -153,6 +153,12 @@ class SelectQuery:
     # expression may reference an earlier alias. The alias also appears
     # in `variables` at its projection position.
     projections: list[tuple[object, str]] = field(default_factory=list)
+    # GROUP BY expression conditions ((expr AS ?alias), (expr), or a
+    # bare function call): (tree, name) pairs materialized as columns
+    # on the pre-group frame; the name also appears in `group_by`
+    # (unaliased conditions get a hidden __g{i} name, droppped from the
+    # projection)
+    group_exprs: list[tuple[object, str]] = field(default_factory=list)
 
 
 # filter expression tree
@@ -419,10 +425,12 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
         having = _parse_having(tail[mh.end() : j], prefixes)
         tail = tail[: mh.start()] + tail[j + 1 :]
 
-    group_by, order_by, limit, offset = _parse_tail(tail, prefixes)
+    group_by, group_exprs, order_by, limit, offset = _parse_tail(
+        tail, prefixes
+    )
     return SelectQuery(
         variables, group, distinct, order_by, limit, offset, aggregates,
-        group_by, having, from_graphs, from_named, projections,
+        group_by, having, from_graphs, from_named, projections, group_exprs,
     )
 
 
@@ -474,7 +482,13 @@ def _parse_projection_expr(
 
 def _parse_tail(
     tail: str, prefixes: dict[str, str]
-) -> tuple[list[str], list[tuple[object, bool]], int | None, int | None]:
+) -> tuple[
+    list[str],
+    list[tuple[object, str]],
+    list[tuple[object, bool]],
+    int | None,
+    int | None,
+]:
     """GROUP BY / ORDER BY / LIMIT / OFFSET in any order; raises on any
     unconsumed text so no modifier is silently dropped."""
     matches = list(_CLAUSE_RE.finditer(tail))
@@ -484,6 +498,7 @@ def _parse_tail(
             f"unparsed text after WHERE block: {head.strip()!r}"
         )
     group_by: list[str] = []
+    group_exprs: list[tuple[object, str]] = []
     order_by: list[tuple[object, bool]] = []
     limit = offset = None
     for idx, m in enumerate(matches):
@@ -491,10 +506,7 @@ def _parse_tail(
         seg = tail[m.end() : end].strip()
         kw = re.sub(r"\s+", " ", m.group(1).upper())
         if kw == "GROUP BY":
-            toks = seg.split()
-            if not toks or not all(t.startswith("?") for t in toks):
-                raise ValueError(f"cannot parse GROUP BY clause: {seg!r}")
-            group_by = [t.lstrip("?") for t in toks]
+            group_by, group_exprs = _parse_group_by(seg, prefixes)
         elif kw == "ORDER BY":
             order_by = _parse_order(seg, prefixes)
         elif kw == "LIMIT":
@@ -505,7 +517,60 @@ def _parse_tail(
             if offset is not None:
                 raise ValueError("duplicate OFFSET clause")
             offset = int(seg)
-    return group_by, order_by, limit, offset
+    return group_by, group_exprs, order_by, limit, offset
+
+
+def _parse_group_by(
+    seg: str, prefixes: dict[str, str]
+) -> tuple[list[str], list[tuple[object, str]]]:
+    """GroupCondition list (SPARQL 1.1 grammar [20]): ?var |
+    (expr AS ?alias) | (expr) | a bare function call. Expression
+    conditions become (tree, name) pairs — aliased names are
+    projectable; unaliased ones get hidden __g{i} names."""
+    names: list[str] = []
+    exprs: list[tuple[object, str]] = []
+    s = seg.strip()
+    gi = 0
+
+    def _value(src: str):
+        p = _FilterParser(src, prefixes)
+        node = p.or_expr()
+        if p._peek() is not None:
+            raise ValueError(f"unsupported GROUP BY expression: {src!r}")
+        return node
+
+    while s:
+        if s.startswith("?"):
+            m = re.match(r"\?(\w+)", s)
+            names.append(m.group(1))
+            s = s[m.end() :].strip()
+            continue
+        if s.startswith("("):
+            j = _match_paren(s, 0)
+            inner = s[1:j].strip()
+            s = s[j + 1 :].strip()
+            mb = _BIND_RE.match(inner)
+            if mb:
+                name = mb.group("var")
+                exprs.append((_value(mb.group("expr")), name))
+            else:
+                name = f"__g{gi}"
+                gi += 1
+                exprs.append((_value(inner), name))
+            names.append(name)
+            continue
+        m = re.match(r"[\w.%-]+(?::[\w.%-]+)?\s*\(", s)
+        if not m:
+            raise ValueError(f"cannot parse GROUP BY condition: {s!r}")
+        j = _match_paren(s, m.end() - 1)
+        name = f"__g{gi}"
+        gi += 1
+        exprs.append((_value(s[: j + 1]), name))
+        names.append(name)
+        s = s[j + 1 :].strip()
+    if not names:
+        raise ValueError("empty GROUP BY clause")
+    return names, exprs
 
 
 def _parse_order(
@@ -2236,10 +2301,17 @@ def _select_df_info(
 
     having_tree = _pull(q.having) if q.having is not None else None
     proj_trees = [(_pull(t), alias) for t, alias in q.projections]
-    if q.aggregates or q.having is not None or hidden_n:
+    if q.aggregates or q.having is not None or hidden_n or q.group_by:
+        # materialize group-key expression columns, then aggregate
+        # input columns, on the pre-group frame
+        for tree, iname in q.group_exprs:
+            df = df.withColumn(iname, _bind_col(tree, df))
         for iname, tree in pre_cols:
             df = df.withColumn(iname, _bind_col(tree, df))
-        if q.group_by:
+        if not aggs and q.group_by:
+            # GROUP BY without aggregates: one row per group
+            df = df.select(*q.group_by).dropDuplicates()
+        elif q.group_by:
             df = df.groupBy(*q.group_by).agg(*aggs)
         else:
             df = df.agg(*aggs)
@@ -2249,13 +2321,15 @@ def _select_df_info(
         # later expression may reference an earlier alias
         for node, alias in proj_trees:
             df = df.withColumn(alias, _bind_col(node, df))
-        keep = (q.variables or q.group_by) + [a.alias for a in q.aggregates]
+        shown_gb = [g for g in q.group_by if not g.startswith("__g")]
+        keep = (q.variables or shown_gb) + [a.alias for a in q.aggregates]
         df = df.select(*[c for c in keep if c in df.columns])
         # aggregates other than COUNT yield NULL over all-NULL groups
         mn = (
             (mn & set(q.group_by))
             | {a.alias for a in q.aggregates if a.func != "count"}
             | {alias for _, alias in proj_trees}
+            | {n for _, n in q.group_exprs}  # expression keys may be NULL
         )
     elif q.variables:
         for node, alias in proj_trees:

@@ -378,3 +378,34 @@ def test_group_concat_over_expression_with_separator(ab_triples):
             WHERE {{ ?r <{EX}a> ?a . ?r <{EX}b> ?b . ?r <{EX}g> ?g }}""",
     )
     assert [tuple(r) for r in out.collect()] == [("X,X,Y", 0.0, "1-2")]
+
+
+def test_group_by_expression_aliased(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT ?p (COUNT(?a) AS ?n) WHERE {{ ?r <{EX}a> ?a }}
+            GROUP BY (FLOOR(?a / 4) AS ?p) ORDER BY ?p""",
+    )
+    # a in {1,3,5}: floor(a/4) -> 0,0,1
+    assert [tuple(r) for r in out.collect()] == [(0.0, 2), (1.0, 1)]
+
+
+def test_group_by_bare_function_hidden_key(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT (SUM(?a) AS ?s) WHERE {{ ?r <{EX}a> ?a }}
+            GROUP BY FLOOR(?a / 4) ORDER BY ?s""",
+    )
+    # hidden __g key is grouped on but not projected
+    assert out.columns == ["s"]
+    assert [r["s"] for r in out.collect()] == [4.0, 5.0]
+
+
+def test_group_by_expression_without_aggregates(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT ?p WHERE {{ ?r <{EX}a> ?a }}
+            GROUP BY (FLOOR(?a / 4) AS ?p) ORDER BY ?p""",
+    )
+    # grouping without aggregates yields one row per group
+    assert [r["p"] for r in out.collect()] == [0.0, 1.0]
