@@ -799,3 +799,45 @@ def _value_fn_property(spark, terms, sep, pat, rep):
 
 def test_differential_value_functions(spark):
     _value_fn_property(spark)
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates over expressions + GROUP BY expression keys
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.integers(-6, 24), min_size=1, max_size=10),
+    div=st.sampled_from([2, 3, 4]),
+    mul=st.integers(-3, 3),
+)
+def _agg_expr_property(spark, vals, div, mul):
+    graph = [
+        (f"<{EX}r/{i}>", f"<{EX}v>", _lit(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        graph, "subj string, pred string, obj string"
+    )
+    q = f"""SELECT ?b (SUM(?v * {mul} + 1) AS ?s) (MAX(?v * ?v) AS ?m)
+            (COUNT(?v) AS ?n)
+        WHERE {{ ?r <{EX}v> ?v }} GROUP BY (FLOOR(?v / {div}) AS ?b)"""
+    got = {
+        r["b"]: (r["s"], r["m"], r["n"])
+        for r in sparql_select(df, q).collect()
+    }
+    import math as _m
+
+    want: dict[float, list[int]] = {}
+    for v in vals:
+        want.setdefault(float(_m.floor(v / div)), []).append(v)
+    assert got.keys() == want.keys(), q
+    for b, vs in want.items():
+        s, m, n = got[b]
+        assert s == float(sum(v * mul + 1 for v in vs)), (q, b, vs)
+        assert m == float(max(v * v for v in vs)), (q, b, vs)
+        assert n == len(vs), (q, b, vs)
+
+
+def test_differential_agg_over_expression(spark):
+    _agg_expr_property(spark)
