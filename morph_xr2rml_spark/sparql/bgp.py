@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import functools
 import re
+import threading
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -338,17 +339,23 @@ def _strip_comments(text: str) -> str:
 
 # NOW() must return ONE timestamp for the whole query (SPARQL 1.1
 # §17.4.5.1); the parser stamps it once per top-level parse and every
-# NOW() node carries that constant. A one-element list, not a scalar,
-# so nested _parse_select calls (subqueries) share the outer stamp.
-_QUERY_NOW: list[str] = [""]
+# NOW() node carries that constant. Thread-local, so concurrent parses
+# (the protocol endpoint serves per-request threads) cannot re-stamp
+# each other mid-parse; nested _parse_select calls (subqueries) run on
+# the stamping thread and share the outer stamp.
+_QUERY_NOW = threading.local()
 
 
-def parse_sparql(text: str) -> SelectQuery:
-    _QUERY_NOW[0] = (
+def _now_term() -> str:
+    return (
         '"'
         + datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
         + f'Z"^^<{_XSD_NS}dateTime>'
     )
+
+
+def parse_sparql(text: str) -> SelectQuery:
+    _QUERY_NOW.value = _now_term()
     text = _strip_comments(text)
     prefixes = _parse_prologue(text)
     end = _PROLOGUE_RE.match(text).end()
@@ -401,6 +408,9 @@ def _parse_select(body: str, prefixes: dict[str, str]) -> SelectQuery:
                         sep=" " if sep is None else re.sub(r"\\(.)", r"\1", sep),
                     )
                 )
+                # keep the alias at its projection position so the
+                # result column order follows the SELECT clause
+                variables.append(ma.group("alias"))
                 continue
             # general (expr AS ?alias) projection (SPARQL 1.1 §18.4);
             # aggregate calls inside are legal and pulled post-group
@@ -542,6 +552,8 @@ def _parse_group_by(
     while s:
         if s.startswith("?"):
             m = re.match(r"\?(\w+)", s)
+            if not m:
+                raise ValueError(f"cannot parse GROUP BY condition: {s!r}")
             names.append(m.group(1))
             s = s[m.end() :].strip()
             continue
@@ -1276,8 +1288,13 @@ class _FilterParser:
         if u in _FN_NULLARY and self._peek(1) == "(" and self._peek(2) == ")":
             self._pop(), self._pop(), self._pop()
             # NOW() carries the per-parse timestamp so every call in
-            # the query evaluates to the same instant (§17.4.5.1)
-            args = [_QUERY_NOW[0]] if u == "NOW" else []
+            # the query evaluates to the same instant (§17.4.5.1); the
+            # fallback covers direct group parses (CONSTRUCT templates)
+            # that never pass through parse_sparql
+            if u == "NOW":
+                args = [getattr(_QUERY_NOW, "value", None) or _now_term()]
+            else:
+                args = []
             return FilterNode(_FN_NULLARY[u], args)
         if self._peek(1) == "(" and (
             re.match(r"^\w+:[\w.%-]+$", t)
@@ -1338,7 +1355,8 @@ class _HavingParser(_FilterParser):
                         f"expected SEPARATOR after ';', got {kw!r}"
                     )
                 self._expect("=")
-                sep = _unquote(self._pop())
+                # same escape handling as the _AGG_RE projection path
+                sep = re.sub(r"\\(.)", r"\1", _unquote(self._pop()))
             self._expect(")")
             if isinstance(node, str) and node.startswith("?"):
                 return FilterNode(
@@ -1842,34 +1860,61 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
                 "str",
             )
         if op == "strbefore":
-            # SPARQL 1.1 §17.4.3.4: empty arg2 -> "", no match -> ""
+            # SPARQL 1.1 §17.4.3.4: empty arg2 -> "", no match -> "";
+            # an unbound/NULL argument is a type error -> NULL (the
+            # leading when() keeps instr's NULL from being swallowed
+            # by the no-match "" branch)
             a = _as_lexical(term.args[0], df)
             b = _as_lexical(term.args[1], df)
             pos = F.instr(a, b)
             return (
-                F.when(F.length(b) == 0, F.lit(""))
+                F.when(
+                    a.isNull() | b.isNull(), F.lit(None).cast("string")
+                )
+                .when(F.length(b) == 0, F.lit(""))
                 .when(pos > 0, F.substr(a, F.lit(1), pos - 1))
                 .otherwise(F.lit("")),
                 "str",
             )
         if op == "strafter":
-            # SPARQL 1.1 §17.4.3.5: empty arg2 -> arg1, no match -> ""
+            # SPARQL 1.1 §17.4.3.5: empty arg2 -> arg1, no match -> "";
+            # unbound/NULL argument -> NULL (type error), as above
             a = _as_lexical(term.args[0], df)
             b = _as_lexical(term.args[1], df)
             pos = F.instr(a, b)
             return (
-                F.when(F.length(b) == 0, a)
+                F.when(
+                    a.isNull() | b.isNull(), F.lit(None).cast("string")
+                )
+                .when(F.length(b) == 0, a)
                 .when(pos > 0, F.substr(a, pos + F.length(b)))
                 .otherwise(F.lit("")),
                 "str",
             )
         if op == "replace":
             # REPLACE replaces every match (XPath fn:replace); Spark's
-            # regexp_replace is global, a DuckDB oracle needs the 'g' flag
+            # regexp_replace is global, a DuckDB oracle needs the 'g'
+            # flag. The optional 4th flags argument must be a literal;
+            # i/s/m/x map to Java inline flags, anything else raises
+            # (silently dropping a flag would corrupt results).
+            pat = _as_lexical(term.args[1], df)
+            if len(term.args) > 3:
+                fl = term.args[3]
+                if not (isinstance(fl, str) and fl.startswith('"')):
+                    raise ValueError(
+                        "REPLACE flags must be a literal string"
+                    )
+                flags = _unquote(fl)
+                if set(flags) - set("ismx"):
+                    raise ValueError(
+                        f"unsupported REPLACE flags {flags!r}"
+                    )
+                if flags:
+                    pat = F.concat(F.lit(f"(?{flags})"), pat)
             return (
                 F.regexp_replace(
                     _as_lexical(term.args[0], df),
-                    _as_lexical(term.args[1], df),
+                    pat,
                     _as_lexical(term.args[2], df),
                 ),
                 "str",
@@ -1958,7 +2003,15 @@ def _filter_operand(term, df: DataFrame) -> tuple[Column, str]:
             lex = _as_lexical(term.args[0], df)
             part = F.regexp_extract(lex, _DT_LEX_RE, _DT_GROUP[op])
             if op == "dt_tz":
-                return part, "str"
+                # TZ of a timezone-less dateTime is "" but TZ of a
+                # non-temporal term is a type error -> NULL; gate on
+                # the overall lexical match to tell the two apart
+                return (
+                    F.when(lex.rlike(_DT_LEX_RE), part).otherwise(
+                        F.lit(None).cast("string")
+                    ),
+                    "str",
+                )
             return F.nullif(part, F.lit("")).try_cast("double"), "num"
         if op == "datatype":
             raw = _raw_term(term.args[0], df)
@@ -2322,8 +2375,18 @@ def _select_df_info(
         for node, alias in proj_trees:
             df = df.withColumn(alias, _bind_col(node, df))
         shown_gb = [g for g in q.group_by if not g.startswith("__g")]
+        # parser-built queries carry aggregate aliases in `variables`
+        # at their projection position; the appended alias list only
+        # matters for programmatically-built SelectQuery objects
         keep = (q.variables or shown_gb) + [a.alias for a in q.aggregates]
-        df = df.select(*[c for c in keep if c in df.columns])
+        seen: set[str] = set()
+        df = df.select(
+            *[
+                c
+                for c in keep
+                if c in df.columns and not (c in seen or seen.add(c))
+            ]
+        )
         # aggregates other than COUNT yield NULL over all-NULL groups
         mn = (
             (mn & set(q.group_by))
@@ -2365,6 +2428,7 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     from the WHERE bindings -> a new (subj, pred, obj) DataFrame
     (S9's CONSTRUCT->RDF path). Unbound-variable rows are dropped per
     SPARQL semantics; output is deduplicated (graph set semantics)."""
+    _QUERY_NOW.value = _now_term()  # fresh NOW() stamp for this query
     prefixes = _parse_prologue(query)
     body = _PREFIX_RE.sub(
         "", re.sub(r"\bBASE\s*<[^>]*>", " ", query, flags=re.IGNORECASE)

@@ -409,3 +409,75 @@ def test_group_by_expression_without_aggregates(ab_triples):
     )
     # grouping without aggregates yields one row per group
     assert [r["p"] for r in out.collect()] == [0.0, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# review regressions: NULL propagation, flags, column order, TZ errors
+# ---------------------------------------------------------------------------
+
+
+def test_strbefore_strafter_null_propagates(dt_triples):
+    # unbound argument -> type error -> unbound (NULL), not ""
+    out = sparql_select(
+        dt_triples,
+        f"""SELECT ?s (STRAFTER(STR(?m), "o") AS ?a)
+                   (STRBEFORE(STR(?m), "o") AS ?b)
+            WHERE {{ ?s <{EX}at> ?t .
+                     OPTIONAL {{ ?s <{EX}missing> ?m }} }}""",
+    )
+    for r in out.collect():
+        assert r["a"] is None and r["b"] is None
+    # and a FILTER comparing against "" must NOT keep unbound rows
+    out2 = sparql_select(
+        dt_triples,
+        f"""SELECT ?s WHERE {{ ?s <{EX}at> ?t .
+            OPTIONAL {{ ?s <{EX}missing> ?m }}
+            FILTER(STRAFTER(STR(?m), "o") = "") }}""",
+    )
+    assert out2.count() == 0
+
+
+def test_replace_flags(triples):
+    out = sparql_select(
+        triples,
+        f"""SELECT (REPLACE(STR(?c), "ab", "Z", "i") AS ?r) WHERE {{
+            ?s <{EX}code> ?c . FILTER(STRSTARTS(STR(?c), "AB")) }}""",
+    )
+    assert [r["r"] for r in out.collect()] == ["Z-12-XY"]
+    with pytest.raises(ValueError, match="flags"):
+        sparql_select(
+            triples,
+            f"""SELECT (REPLACE(STR(?c), "a", "Z", "q") AS ?r)
+                WHERE {{ ?s <{EX}code> ?c }}""",
+        )
+
+
+def test_aggregate_projection_column_order(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT (COUNT(?a) AS ?n) ?g (SUM(?a - ?a) AS ?z)
+            WHERE {{ ?r <{EX}a> ?a . ?r <{EX}g> ?g }} GROUP BY ?g""",
+    )
+    assert out.columns == ["n", "g", "z"]
+
+
+def test_tz_of_non_temporal_is_error(dt_triples):
+    out = sparql_select(
+        dt_triples,
+        f"SELECT ?s (TZ(?n) AS ?tz) WHERE {{ ?s <{EX}n> ?n }}",
+    )
+    assert all(r["tz"] is None for r in out.collect())
+
+
+def test_group_concat_separator_unescape_expression_path(ab_triples):
+    out = sparql_select(
+        ab_triples,
+        f"""SELECT (GROUP_CONCAT(UCASE(STR(?g)); SEPARATOR="a\\"b") AS ?c)
+            WHERE {{ ?r <{EX}g> ?g }}""",
+    )
+    assert out.collect()[0]["c"] == 'Xa"bXa"bY'
+
+
+def test_group_by_lone_question_mark_raises():
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_sparql("SELECT ?a WHERE { ?a ?b ?c } GROUP BY ? a")
